@@ -1,0 +1,138 @@
+"""Per-stage kernel-input LLR processors (device-side, batched).
+
+TPU-native replacement for the reference's per-kernel C++ processors
+(SURVEY.md C4/C5: direct f/g for the 2x2 Arikan kernel, trellis processing
+for the 16x16 eBCH kernel; mount empty, §0). The design is uniform:
+
+1. Prior decisions u_0..u_{i-1} are absorbed as a *coset sign flip* of the
+   output LLRs: lam' = lam * (1 - 2 * coset) with
+   coset = (masked prior u) @ K mod 2.
+2. The input-i LLR is then the min-sum (max-log) marginal over the free
+   tail bits: with T_i = +-1 table of all tail codewords span(rows i+1..)
+   and s_i = (1 - 2 * row_i),
+       llr_i = (max(lam' @ T_i) - max((lam' * s_i) @ T_i)) / 2.
+
+This is mathematically identical to the reference's trellis min-sum pass
+(both compute the exact max-log marginal) but maps to the MXU as a batched
+matmul + max-reduce instead of a sequential Viterbi recursion. For the
+2x2 kernel the formula collapses to the classic closed forms
+    i=0: f(a,b) = sign(a)sign(b) min(|a|,|b|),   i=1: a' + b,
+which we special-case. A Viterbi min-plus trellis backend (cheaper for
+small i on large kernels, where the tail table is huge but the minimal
+trellis has few states) lives in polar_tpu.kernels.trellis.
+
+Array layout: batch LAST (lanes), i.e. lam views are [P, l, n, B] with
+P = list paths, l = kernel size, n = positions, B = codewords.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from polar_tpu.kernels.arikan import f_minsum
+
+_CHUNK = 512  # max tail-table columns materialized at once
+
+
+def _tail_table(kernel: np.ndarray, i: int) -> np.ndarray:
+    """All codewords of span(rows i+1..l-1) as a +-1 matrix [l, 2^(l-1-i)]."""
+    l = kernel.shape[0]
+    n_free = l - 1 - i
+    msgs = ((np.arange(1 << n_free)[:, None] >> np.arange(n_free)[None, :]) & 1)
+    x = (msgs.astype(np.int64) @ kernel[i + 1:].astype(np.int64)) % 2
+    return (1.0 - 2.0 * x.T).astype(np.float32)  # [l, C]
+
+
+class StageProcessor:
+    """LLR processor for one kernel stage. Host-built, device-applied."""
+
+    def __init__(self, kernel: np.ndarray):
+        # All static tables stay host-side numpy: jnp closure constants that
+        # live on a remote-tunnelled TPU device cost a blocking device fetch
+        # *per constant* at MLIR lowering time; numpy constants embed free.
+        self.kernel = np.asarray(kernel, dtype=np.uint8)
+        self.l = int(kernel.shape[0])
+        self.k_f32 = self.kernel.astype(np.float32)
+        self.row_signs = 1.0 - 2.0 * self.kernel.astype(np.float32)
+        if self.l > 2:
+            self.tables = [_tail_table(self.kernel, i) for i in range(self.l)]
+
+    # ---- coset handling -------------------------------------------------
+
+    def coset_signs(self, dec_g: jnp.ndarray, i) -> jnp.ndarray:
+        """Sign flips from prior decisions.
+
+        dec_g: [l, P, n, B] gathered prior child decisions (rows >= i are
+        ignored via mask). i may be traced. Returns [P, l, n, B] of +-1.
+        """
+        mask = (jnp.arange(self.l) < i).astype(jnp.float32)  # [l]
+        d = dec_g.astype(jnp.float32) * mask[:, None, None, None]
+        coset = jnp.einsum("jPnB,jk->PknB", d, jnp.asarray(self.k_f32)) % 2.0
+        return 1.0 - 2.0 * coset
+
+    # ---- per-input LLR --------------------------------------------------
+
+    def _maxcorr(self, lam_adj: jnp.ndarray, i: int) -> jnp.ndarray:
+        """max over tail codewords of correlation; lam_adj [.., l, n, B]."""
+        t = jnp.asarray(self.tables[i])  # [l, C]
+        c = t.shape[1]
+        if c <= _CHUNK:
+            corr = jnp.einsum("...lnB,lc->...nBc", lam_adj, t)
+            return jnp.max(corr, axis=-1)
+        n_chunks = (c + _CHUNK - 1) // _CHUNK
+        pad = n_chunks * _CHUNK - c
+        # pad table with zero columns; mask them to -inf after the matmul
+        tp = jnp.pad(t, ((0, 0), (0, pad)))
+        chunks = tp.reshape(self.l, n_chunks, _CHUNK).transpose(1, 0, 2)
+        valid = (jnp.arange(n_chunks * _CHUNK).reshape(n_chunks, _CHUNK) < c)
+
+        def body(carry, xs):
+            tc, vc = xs
+            corr = jnp.einsum("...lnB,lc->...nBc", lam_adj, tc)
+            corr = jnp.where(vc, corr, -jnp.inf)
+            return jnp.maximum(carry, jnp.max(corr, axis=-1)), None
+
+        init = jnp.full(lam_adj.shape[:-3] + lam_adj.shape[-2:], -jnp.inf,
+                        dtype=lam_adj.dtype)
+        out, _ = jax.lax.scan(body, init, (chunks, valid))
+        return out
+
+    def _llr_static(self, i: int, lam_adj: jnp.ndarray) -> jnp.ndarray:
+        """Input-i LLR from coset-adjusted llrs. lam_adj [P, l, n, B]."""
+        if self.l == 2:
+            a, b = lam_adj[:, 0], lam_adj[:, 1]
+            if i == 0:
+                return f_minsum(a, b)
+            return a + b  # g with u0 absorbed into the coset sign of a
+        if i == self.l - 1:  # single tail codeword: plain correlation diff
+            return jnp.einsum("PlnB,l->PnB", lam_adj,
+                              jnp.asarray(self.kernel[i].astype(np.float32)))
+        both = jnp.stack(
+            [lam_adj,
+             lam_adj * jnp.asarray(self.row_signs[i])[None, :, None, None]])
+        corr = self._maxcorr(both, i)  # [2, P, n, B]
+        return 0.5 * (corr[0] - corr[1])
+
+    def fresh_llr(self, lam_view: jnp.ndarray) -> jnp.ndarray:
+        """Input-0 LLR (new node, no prior decisions). lam_view [P,l,n,B]."""
+        return self._llr_static(0, lam_view)
+
+    def dynamic_llr(self, i, lam_view: jnp.ndarray,
+                    dec_g: jnp.ndarray) -> jnp.ndarray:
+        """Input-i LLR with traced i; dec_g [l, P, n, B] prior decisions."""
+        lam_adj = lam_view * self.coset_signs(dec_g, i)
+        branches = [functools.partial(self._llr_static, j)
+                    for j in range(self.l)]
+        return jax.lax.switch(i, branches, lam_adj)
+
+    # ---- re-encode ------------------------------------------------------
+
+    def reencode(self, dec_g: jnp.ndarray) -> jnp.ndarray:
+        """Hard re-encode a completed node: dec_g [l, P, n, B] child bits ->
+        output block [P, l, n, B] (x = u @ K mod 2 along the kernel axis)."""
+        x = jnp.einsum("jPnB,jk->PknB", dec_g.astype(jnp.float32),
+                       jnp.asarray(self.k_f32)) % 2.0
+        return x.astype(jnp.int8)
