@@ -58,7 +58,22 @@ class StageProcessor:
         self.k_f32 = self.kernel.astype(np.float32)
         self.row_signs = 1.0 - 2.0 * self.kernel.astype(np.float32)
         if self.l > 2:
-            self.tables = [_tail_table(self.kernel, i) for i in range(self.l)]
+            from polar_tpu.kernels.trellis import tail_trellis
+
+            kb = self.kernel.tobytes()
+            self.trellises = [tail_trellis(kb, self.l, i)
+                              for i in range(self.l)]
+            # per-input backend: the tail-coset table costs O(2^(l-1-i))
+            # columns, the minimal trellis O(l * S_i^2) min-adds; pick the
+            # cheaper (SURVEY.md C5 — trellis where the reference must use
+            # one, dense MXU enumeration where the coset is small).
+            self.backend = [
+                "trellis" if self.trellises[i].s_max ** 2 < (1 << (self.l - 1 - i))
+                else "table"
+                for i in range(self.l)]
+            self.tables = [None if self.backend[i] == "trellis"
+                           else _tail_table(self.kernel, i)
+                           for i in range(self.l)]
 
     # ---- coset handling -------------------------------------------------
 
@@ -113,6 +128,11 @@ class StageProcessor:
         both = jnp.stack(
             [lam_adj,
              lam_adj * jnp.asarray(self.row_signs[i])[None, :, None, None]])
+        if self.backend[i] == "trellis":
+            from polar_tpu.kernels.trellis import min_path_cost
+
+            cost = min_path_cost(self.trellises[i], both)  # [2, P, n, B]
+            return cost[1] - cost[0]
         corr = self._maxcorr(both, i)  # [2, P, n, B]
         return 0.5 * (corr[0] - corr[1])
 

@@ -38,7 +38,7 @@ from polar_tpu.models.polar import CodeSpec
 from polar_tpu.ops.kernel_proc import StageProcessor
 from polar_tpu.ops.schedule import build_schedule
 
-BIG = jnp.float32(1e30)
+BIG = np.float32(1e30)  # host scalar: no device init at import
 
 
 class DecodeResult(NamedTuple):
@@ -48,8 +48,17 @@ class DecodeResult(NamedTuple):
     pm: jnp.ndarray       # [B] best path metric
 
 
-def build_scl_decoder(spec: CodeSpec, list_size: int):
-    """Returns decode(llrs: [B, N] f32) -> DecodeResult. Jit the result."""
+def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False):
+    """Returns decode(llrs: [B, N] f32) -> DecodeResult. Jit the result.
+
+    genie=True (list_size must be 1): all leaves are decided as the true
+    all-zero codeword regardless of the frozen mask, and the returned `u`
+    records per-leaf LLR *sign errors* instead of decisions. Feeding
+    all-zero-codeword channel LLRs then gives the genie-aided per-subchannel
+    error indicators used for Monte-Carlo code construction (SURVEY.md C6).
+    """
+    if genie and list_size != 1:
+        raise ValueError("genie mode requires list_size=1")
     m = len(spec.factors)
     P = int(list_size)
     sched = build_schedule(spec)
@@ -132,6 +141,26 @@ def build_scl_decoder(spec: CodeSpec, list_size: int):
         frozen_t = jnp.asarray(frozen_np)[t]
         iota = _iota_pb(b)
 
+        if genie:
+            # decisions forced to the true (all-zero) u; traj_bit records
+            # whether SC *would have* erred at this leaf
+            bit = jnp.zeros((P, b), jnp.int8)
+            err = (lam_leaf < 0).astype(jnp.int8)
+            pm = state["pm"] + pen0
+            parent = jnp.zeros_like(iota)
+            state = dict(state)
+            state["pm"] = pm
+            state["traj_parent"] = state["traj_parent"].at[t].set(
+                parent.astype(jnp.int8))
+            state["traj_bit"] = state["traj_bit"].at[t].set(err)
+            d_m = jnp.asarray(digits_np)[t, m - 1]
+            state["dec"] = _tset(
+                state["dec"], m - 1,
+                state["dec"][m - 1].at[d_m, :, 0, :].set(bit))
+            state["rdec"] = _tset(
+                state["rdec"], m - 1,
+                state["rdec"][m - 1].at[d_m].set(iota))
+            return state
         if P == 1:
             bit = jnp.where(frozen_t, 0, (lam_leaf < 0).astype(jnp.int8))
             pm = state["pm"] + jnp.where(bit == 1, pen1, pen0)

@@ -1,0 +1,59 @@
+"""CLI entry point for Monte-Carlo FER sweeps — the reference's `main`.
+
+TPU-native equivalent of the reference C++ executable's argv interface
+(SURVEY.md C12/L7; config system per SURVEY.md §5). Usage:
+
+    python -m polar_tpu.sim.sweep_cli --preset ca_scl \
+        --frames 1000000 --state sweep_state.json --jsonl results.jsonl
+
+Multi-host: launch one process per host with JAX_COORDINATOR_ADDRESS set;
+batches shard over every chip in the slice and counters cross hosts via
+psum (parallel.mesh).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="ca_scl",
+                   help="named preset (see polar_tpu.models.presets)")
+    p.add_argument("--frames", type=int, default=None,
+                   help="frames per SNR point (default: preset value)")
+    p.add_argument("--per-device-batch", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--snr", type=float, nargs="*", default=None,
+                   help="override the Eb/N0 grid (dB)")
+    p.add_argument("--list-size", type=int, default=None,
+                   help="override the preset list size")
+    p.add_argument("--state", default=None, help="resumable state JSON path")
+    p.add_argument("--jsonl", default=None, help="append results here")
+    p.add_argument("--min-frame-errors", type=int, default=0,
+                   help="early-stop a point after this many frame errors")
+    args = p.parse_args(argv)
+
+    from polar_tpu.parallel.mesh import init_multihost
+    init_multihost()
+
+    import dataclasses
+    from polar_tpu.models.presets import get_preset
+    preset = get_preset(args.preset)
+    if args.snr:
+        preset = dataclasses.replace(preset, ebn0_grid=tuple(args.snr))
+    if args.list_size:
+        preset = dataclasses.replace(preset, list_size=args.list_size)
+
+    from polar_tpu.sim.harness import run_sweep
+    recs = run_sweep(preset, frames=args.frames,
+                     per_device_batch=args.per_device_batch, seed=args.seed,
+                     state_path=args.state, jsonl_path=args.jsonl,
+                     min_frame_errors=args.min_frame_errors)
+    print(json.dumps({"summary": [
+        {"ebn0_db": r["ebn0_db"], "fer": r["fer"], "ber": r["ber"],
+         "frames": r["frames"]} for r in recs]}))
+
+
+if __name__ == "__main__":
+    main()
