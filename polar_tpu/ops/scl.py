@@ -8,22 +8,33 @@ pointer-rich per-codeword C++ design (SURVEY.md §7.0):
 
 - A batch of B codewords x L list paths decodes in lockstep; every op is a
   wide vector op with the batch in the lane (last) dimension.
-- The depth-first recursion becomes a `lax.fori_loop` over the N leaf bits
-  driving two `lax.switch`es on host-precomputed schedule arrays
-  (polar_tpu.ops.schedule): a "down" switch (which stages compute fresh
-  kernel-input LLRs) and an "up" switch (which completed nodes re-encode).
+- The depth-first recursion becomes a `lax.fori_loop` over a
+  host-precomputed pruned-tree op program (polar_tpu.ops.program):
+  fast-SSC(L) constituent nodes (R0/REP/R1/SPC) collapse whole subtrees
+  into single steps; DOWN/UP stage ops and single-LEAF forks cover the
+  rest. A `lax.switch` dispatches per-op branches (one branch per
+  (op kind, tree level) — shapes static per branch).
 - Tal-Vardy lazy path copies become per-stage path->slot index maps
   (rlam/rdec, [P, B] int32): on path survival only the tiny maps are
   permuted; bulk LLR/decision state is never copied — reads gather through
-  the maps, writes always land at identity slots.
-- The 2L->L sort is `lax.top_k` on negated path metrics (ties prefer bit 0
-  then lower path index — matching polar_tpu.oracle).
-- Per-leaf survival is recorded as (parent, bit) genealogy; the decided u
-  vectors are reconstructed afterwards by a cheap backward scan, avoiding
-  any O(N*L) per-leaf state gather.
+  the maps, writes always land at identity slots. A node's own input LLR
+  buffer is always written immediately before its ops, so node branches
+  read it at identity slots with no gather.
+- Sorts are `lax.top_k` on negated path metrics (single-leaf forks and
+  REP: candidate order bit-major, ties prefer bit 0 then lower path index
+  — matching polar_tpu.oracle; R1 fast forks: keep/flip order per
+  Fast-SSCL).
+- Per-op survival permutations are recorded as genealogy: each op writes
+  its composed permutation at its first leaf slot (identity elsewhere) and
+  its decided u bits in final path indexing; decided u vectors are
+  reconstructed afterwards by one backward scan — no O(N*L) per-leaf
+  state copies.
 
-Path metric: PM += |llr| on sign mismatch (arXiv:1411.7282). SC is the
-list_size=1 specialization (no sort, no genealogy gathers of width 2L).
+Path metric: PM += |llr| on sign mismatch (arXiv:1411.7282) — by the
+telescoping identity this equals the min cost over codewords consistent
+with the path, for any kernel with exact max-log input marginals, which
+is what makes the R0/REP/R1/SPC node updates exact (see ops/program.py).
+SC is the list_size=1 specialization (no sorts).
 """
 from __future__ import annotations
 
@@ -36,6 +47,7 @@ import numpy as np
 
 from polar_tpu.models.polar import CodeSpec
 from polar_tpu.ops.kernel_proc import StageProcessor
+from polar_tpu.ops.program import build_program, staged_inverse_kernels
 from polar_tpu.ops.schedule import build_schedule
 
 BIG = np.float32(1e30)  # host scalar: no device init at import
@@ -48,14 +60,16 @@ class DecodeResult(NamedTuple):
     pm: jnp.ndarray       # [B] best path metric
 
 
-def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False):
+def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
+                      fast: bool = True, fast_r1_scl: bool = True):
     """Returns decode(llrs: [B, N] f32) -> DecodeResult. Jit the result.
 
-    genie=True (list_size must be 1): all leaves are decided as the true
-    all-zero codeword regardless of the frozen mask, and the returned `u`
-    records per-leaf LLR *sign errors* instead of decisions. Feeding
-    all-zero-codeword channel LLRs then gives the genie-aided per-subchannel
-    error indicators used for Monte-Carlo code construction (SURVEY.md C6).
+    fast: use the pruned fast-SSC(L) node program (exact; see
+    ops/program.py). fast_r1_scl: allow Fast-SSCL R1 nodes for L>1
+    (identical survivors/metrics; tie ordering may differ from
+    leaf-sequential SCL). genie (list_size must be 1): all leaves decided
+    as the true all-zero codeword; returned u records per-leaf LLR sign
+    errors (Monte-Carlo construction aid, SURVEY.md C6).
     """
     if genie and list_size != 1:
         raise ValueError("genie mode requires list_size=1")
@@ -63,26 +77,87 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False):
     P = int(list_size)
     sched = build_schedule(spec)
     procs = [StageProcessor(k) for k in spec.kernels]
-    n_sizes = spec.block_sizes                       # n_0..n_m
+    inv_kernels = staged_inverse_kernels(spec)
+    n_sizes = spec.block_sizes
     factors = spec.factors
     N = spec.N
+    program = build_program(spec, scl=(P > 1), classify=fast,
+                            fast_r1_scl=fast_r1_scl, genie=genie)
 
     # numpy schedule tables — wrapped with jnp.asarray only inside traced
     # code, so they embed as MLIR constants without a device fetch (the
     # remote-tunnel TPU plugin makes per-device-constant fetches very slow).
-    digits_np = sched.digits                         # [N, m]
-    s_star_np = sched.s_star
-    r_up_np = sched.r_up
+    digits_np = sched.digits
     frozen_np = sched.frozen.astype(np.bool_)
     info_pos_np = spec.info_positions
 
     def _iota_pb(b):
         return jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None], (P, b))
 
-    # ---------------- stage ops ----------------
+    def _tset(tup, idx, val):
+        return tup[:idx] + (val,) + tup[idx + 1:]
+
+    # ---------------- shared helpers ----------------
+
+    def _apply_perm(state, perm):
+        """Permute all path->slot maps by survival permutation [P, B]."""
+        state = dict(state)
+        state["rlam"] = tuple(
+            jnp.take_along_axis(r, perm, axis=0) for r in state["rlam"])
+        state["rdec"] = tuple(
+            jnp.take_along_axis(r, jnp.broadcast_to(perm[None], r.shape),
+                                axis=1)
+            for r in state["rdec"])
+        return state
+
+    def _write_dec(state, d, t0, block):
+        """Record a depth-d node's hard output block [P, n_d, B] as child
+        digits[t0, d-1] of its parent's kernel."""
+        idx = jnp.asarray(digits_np)[t0, d - 1]
+        b = block.shape[-1]
+        state = dict(state)
+        state["dec"] = _tset(state["dec"], d - 1,
+                             state["dec"][d - 1].at[idx].set(block))
+        state["rdec"] = _tset(state["rdec"], d - 1,
+                              state["rdec"][d - 1].at[idx].set(_iota_pb(b)))
+        return state
+
+    def _write_traj(state, t0, n, perm_first, bits_pnb):
+        """Genealogy for a node covering leaves [t0, t0+n): composed perm at
+        the first leaf, identity elsewhere; bits in final path indexing."""
+        b = bits_pnb.shape[-1]
+        state = dict(state)
+        par = jnp.broadcast_to(_iota_pb(b)[None], (n, P, b)).astype(jnp.int8)
+        par = par.at[0].set(perm_first.astype(jnp.int8))
+        bits = jnp.moveaxis(bits_pnb, 1, 0).astype(jnp.int8)   # [n, P, B]
+        state["traj_parent"] = jax.lax.dynamic_update_slice(
+            state["traj_parent"], par, (t0, 0, 0))
+        state["traj_bit"] = jax.lax.dynamic_update_slice(
+            state["traj_bit"], bits, (t0, 0, 0))
+        return state
+
+    def _fork2(pm, pen0, pen1):
+        """Bit-major 2-way fork + top-L: returns (pm', perm, bit)."""
+        b = pm.shape[-1]
+        cand = jnp.concatenate([pm + pen0, pm + pen1], axis=0)   # [2P, B]
+        vals, idx = jax.lax.top_k(-cand.T, P)
+        c = idx.T.astype(jnp.int32)
+        return -vals.T, c % P, (c // P).astype(jnp.int8)
+
+    def _apply_inverse(d, x_bits):
+        """u = x @ (K_{d+1} kron ... kron K_m)^-1 for blocks [P, n_d, B]."""
+        below = factors[d:]
+        p_, n, b = x_bits.shape
+        t = x_bits.astype(jnp.float32).reshape((p_,) + tuple(below) + (b,))
+        for ax, s in enumerate(range(d, m)):
+            ki = jnp.asarray(inv_kernels[s])
+            t = jnp.tensordot(t, ki, axes=[[1 + ax], [0]])
+            t = jnp.mod(jnp.moveaxis(t, -1, 1 + ax), 2.0)
+        return t.reshape(p_, n, b).astype(jnp.int8)
+
+    # ---------------- stage ops (DOWN / UP) ----------------
 
     def _parent_view(state, s, lam0):
-        """Gathered parent llrs viewed [P(or 1), l_s, n_s, B]."""
         l, n = factors[s - 1], n_sizes[s]
         if s == 1:
             b = lam0.shape[-1]
@@ -92,19 +167,18 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False):
         return lam_prev.reshape(P, l, n, lam_prev.shape[-1])
 
     def _dec_gather(state, s):
-        """[l_s, P, n_s, B] prior child decisions through slot maps."""
-        rd = state["rdec"][s - 1][:, :, None, :]     # [l, P, 1, B]
+        rd = state["rdec"][s - 1][:, :, None, :]
         return jnp.take_along_axis(
-            state["dec"][s - 1], jnp.broadcast_to(rd, state["dec"][s - 1].shape),
-            axis=1)
+            state["dec"][s - 1],
+            jnp.broadcast_to(rd, state["dec"][s - 1].shape), axis=1)
 
-    def _down_op(state, s, i, lam0, fresh: bool):
-        """Compute input-i LLR at stage s, write lam[s] and its map."""
-        view = _parent_view(state, s, lam0)
+    def _down(state, s, t0, fresh):
+        view = _parent_view(state, s, lam0=state["lam0"])
         proc = procs[s - 1]
         if fresh:
             llr = proc.fresh_llr(view)
         else:
+            i = jnp.asarray(digits_np)[t0, s - 1]
             llr = proc.dynamic_llr(i, view, _dec_gather(state, s))
         b = llr.shape[-1]
         llr = jnp.broadcast_to(llr, (P, n_sizes[s], b))
@@ -113,153 +187,202 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False):
         state["rlam"] = _tset(state["rlam"], s - 1, _iota_pb(b))
         return state
 
-    def _up_op(state, s, t):
-        """Re-encode completed stage-s node into dec[s-1]."""
-        d_prev = jnp.asarray(digits_np)[t, s - 2]
-        x = procs[s - 1].reencode(_dec_gather(state, s))   # [P, l_s, n_s, B]
-        b = x.shape[-1]
-        x = x.reshape(P, n_sizes[s - 1], b)
+    def _up(state, s, t0):
+        x = procs[s - 1].reencode(_dec_gather(state, s))   # [P, l, n_s, B]
+        x = x.reshape(P, n_sizes[s - 1], x.shape[-1])
+        return _write_dec(state, s - 1, t0, x)
+
+    # ---------------- node ops ----------------
+
+    def _r0(state, d, t0):
+        lam = state["lam"][d - 1]                          # [P, n_d, B]
+        n = n_sizes[d]
         state = dict(state)
-        state["dec"] = _tset(
-            state["dec"], s - 2,
-            state["dec"][s - 2].at[d_prev, :, :, :].set(x))
-        state["rdec"] = _tset(
-            state["rdec"], s - 2,
-            state["rdec"][s - 2].at[d_prev].set(_iota_pb(b)))
+        state["pm"] = state["pm"] + jnp.sum(jnp.maximum(-lam, 0.0), axis=1)
+        zeros = jnp.zeros_like(lam, dtype=jnp.int8)
+        state = _write_traj(state, t0, n, _iota_pb(lam.shape[-1]), zeros)
+        if d >= 1:
+            state = _write_dec(state, d, t0, zeros)
         return state
 
-    def _tset(tup, idx, val):
-        return tup[:idx] + (val,) + tup[idx + 1:]
+    def _rep(state, d, t0):
+        lam = state["lam"][d - 1]
+        n = n_sizes[d]
+        b = lam.shape[-1]
+        s0 = jnp.sum(jnp.maximum(-lam, 0.0), axis=1)       # [P, B]
+        s1 = jnp.sum(jnp.maximum(lam, 0.0), axis=1)
+        if P == 1:
+            bit = (s1 < s0).astype(jnp.int8)
+            pm = state["pm"] + jnp.where(bit == 1, s1, s0)
+            perm = _iota_pb(b)
+        else:
+            pm, perm, bit = _fork2(state["pm"], s0, s1)
+            state = _apply_perm(state, perm)
+        state = dict(state)
+        state["pm"] = pm
+        ubits = jnp.zeros((P, n, b), jnp.int8).at[:, n - 1, :].set(bit)
+        state = _write_traj(state, t0, n, perm, ubits)
+        xhat = jnp.broadcast_to(bit[:, None, :], (P, n, b)).astype(jnp.int8)
+        return _write_dec(state, d, t0, xhat)
 
-    # ---------------- leaf step ----------------
+    def _r1(state, d, t0):
+        lam = state["lam"][d - 1]
+        n = n_sizes[d]
+        b = lam.shape[-1]
+        hd = (lam < 0).astype(jnp.int8)                    # [P, n, B]
+        if P == 1:
+            u = _apply_inverse(d, hd)
+            state = _write_traj(state, t0, n, _iota_pb(b), u)
+            return _write_dec(state, d, t0, hd)
+        # Fast-SSCL: q keep/flip forks on the least reliable positions
+        q = min(P - 1, n)
+        absl = jnp.moveaxis(jnp.abs(lam), 1, -1)           # [P, B, n]
+        negv, pos = jax.lax.top_k(-absl, q)                # [P, B, q]
+        vals = -negv
+        node_map = _iota_pb(b)
+        flips = jnp.zeros((P, q, b), jnp.int8)
+        pm = state["pm"]
+        for r in range(q):
+            v = jnp.take_along_axis(vals[:, :, r], node_map, axis=0)
+            pm2, perm, flip = _fork2(pm, jnp.zeros_like(v), v)
+            pm = pm2
+            node_map = jnp.take_along_axis(node_map, perm, axis=0)
+            flips = jnp.take_along_axis(
+                flips, jnp.broadcast_to(perm[:, None, :], flips.shape), axis=0)
+            flips = flips.at[:, r, :].set(flip)
+        hd_g = jnp.take_along_axis(hd, node_map[:, None, :], axis=0)
+        pos_g = jnp.take_along_axis(pos, node_map[:, :, None], axis=0)
+        xhat = hd_g
+        iota_n = jnp.arange(n, dtype=jnp.int32)
+        for r in range(q):
+            onehot = (iota_n[None, :, None] == pos_g[:, :, r][:, None, :])
+            xhat = xhat ^ (onehot & (flips[:, r, :][:, None, :] == 1)
+                           ).astype(jnp.int8)
+        state = _apply_perm(state, node_map)
+        state = dict(state)
+        state["pm"] = pm
+        u = _apply_inverse(d, xhat)
+        state = _write_traj(state, t0, n, node_map, u)
+        return _write_dec(state, d, t0, xhat)
 
-    def _leaf_step(state, t):
+    def _spc(state, d, t0):
+        lam = state["lam"][d - 1]
+        n = n_sizes[d]
+        b = lam.shape[-1]
+        hd = (lam < 0).astype(jnp.int8)
+        par = jnp.sum(hd, axis=1) % 2                      # [P, B]
+        absl = jnp.abs(lam)
+        minabs = jnp.min(absl, axis=1)
+        amin = jnp.argmin(absl, axis=1).astype(jnp.int32)  # [P, B]
+        iota_n = jnp.arange(n, dtype=jnp.int32)
+        onehot = (iota_n[None, :, None] == amin[:, None, :])
+        xhat = hd ^ (onehot & (par[:, None, :] == 1)).astype(jnp.int8)
+        state = dict(state)
+        state["pm"] = state["pm"] + minabs * par.astype(jnp.float32)
+        u = _apply_inverse(d, xhat)
+        state = _write_traj(state, t0, n, _iota_pb(b), u)
+        return _write_dec(state, d, t0, xhat)
+
+    def _leaf(state, t):
         b = state["pm"].shape[-1]
-        lam_leaf = state["lam"][m - 1][:, 0, :]      # [P, B]
+        lam_leaf = state["lam"][m - 1][:, 0, :]
         pen0 = jnp.maximum(-lam_leaf, 0.0)
         pen1 = jnp.maximum(lam_leaf, 0.0)
-        frozen_t = jnp.asarray(frozen_np)[t]
         iota = _iota_pb(b)
-
         if genie:
-            # decisions forced to the true (all-zero) u; traj_bit records
-            # whether SC *would have* erred at this leaf
             bit = jnp.zeros((P, b), jnp.int8)
             err = (lam_leaf < 0).astype(jnp.int8)
-            pm = state["pm"] + pen0
-            parent = jnp.zeros_like(iota)
             state = dict(state)
-            state["pm"] = pm
-            state["traj_parent"] = state["traj_parent"].at[t].set(
-                parent.astype(jnp.int8))
-            state["traj_bit"] = state["traj_bit"].at[t].set(err)
-            d_m = jnp.asarray(digits_np)[t, m - 1]
-            state["dec"] = _tset(
-                state["dec"], m - 1,
-                state["dec"][m - 1].at[d_m, :, 0, :].set(bit))
-            state["rdec"] = _tset(
-                state["rdec"], m - 1,
-                state["rdec"][m - 1].at[d_m].set(iota))
-            return state
+            state["pm"] = state["pm"] + pen0
+            state = _write_traj(state, t, 1, iota, err[:, None, :])
+            return _write_dec(state, m, t, bit[:, None, :])
+        frozen_t = jnp.asarray(frozen_np)[t]
         if P == 1:
             bit = jnp.where(frozen_t, 0, (lam_leaf < 0).astype(jnp.int8))
             pm = state["pm"] + jnp.where(bit == 1, pen1, pen0)
-            parent = jnp.zeros_like(iota)
+            perm = iota
         else:
             def fr(pm):
                 return pm + pen0, iota, jnp.zeros((P, b), jnp.int8)
 
             def info(pm):
-                cand = jnp.concatenate([pm + pen0, pm + pen1], axis=0)  # [2P,B]
-                vals, idx = jax.lax.top_k(-cand.T, P)   # [B, P] each
-                c = idx.T.astype(jnp.int32)             # [P, B]
-                return -vals.T, c % P, (c // P).astype(jnp.int8)
+                return _fork2(pm, pen0, pen1)
 
-            pm, parent, bit = jax.lax.cond(frozen_t, fr, info, state["pm"])
-
+            pm, perm, bit = jax.lax.cond(frozen_t, fr, info, state["pm"])
+            state = _apply_perm(state, perm)
         state = dict(state)
         state["pm"] = pm
-        if P > 1:
-            state["rlam"] = tuple(
-                jnp.take_along_axis(r, parent, axis=0) for r in state["rlam"])
-            state["rdec"] = tuple(
-                jnp.take_along_axis(
-                    r, jnp.broadcast_to(parent[None], r.shape), axis=1)
-                for r in state["rdec"])
-        state["traj_parent"] = state["traj_parent"].at[t].set(
-            parent.astype(jnp.int8))
-        state["traj_bit"] = state["traj_bit"].at[t].set(bit)
-        # record the decision as child d_m of the deepest stage's node
-        d_m = jnp.asarray(digits_np)[t, m - 1]
-        state["dec"] = _tset(
-            state["dec"], m - 1,
-            state["dec"][m - 1].at[d_m, :, 0, :].set(bit))
-        state["rdec"] = _tset(
-            state["rdec"], m - 1,
-            state["rdec"][m - 1].at[d_m].set(iota))
-        return state
+        state = _write_traj(state, t, 1, perm, bit[:, None, :])
+        return _write_dec(state, m, t, bit[:, None, :])
 
-    # ---------------- branches ----------------
+    # ---------------- branch table ----------------
 
-    def _down_branch(s_star, state, t, lam0):
-        i = jnp.asarray(digits_np)[t, s_star - 1]
-        state = _down_op(state, s_star, i, lam0, fresh=False)
-        for s in range(s_star + 1, m + 1):
-            state = _down_op(state, s, 0, lam0, fresh=True)
-        return state
+    def _branch(kind, level):
+        if kind == "DOWN_FRESH":
+            return lambda st, t0: _down(st, level, t0, True)
+        if kind == "DOWN_DYN":
+            return lambda st, t0: _down(st, level, t0, False)
+        if kind == "UP":
+            return lambda st, t0: _up(st, level, t0)
+        if kind == "R0":
+            return lambda st, t0: _r0(st, level, t0)
+        if kind == "REP":
+            return lambda st, t0: _rep(st, level, t0)
+        if kind == "R1":
+            return lambda st, t0: _r1(st, level, t0)
+        if kind == "SPC":
+            return lambda st, t0: _spc(st, level, t0)
+        if kind == "LEAF":
+            return _leaf
+        raise ValueError(kind)
 
-    def _up_branch(r, state, t):
-        for s in range(m, m - r, -1):
-            state = _up_op(state, s, t)
-        return state
+    branches = [_branch(k, lvl) for k, lvl in program.branch_keys]
+    op_code_np = program.op_code
+    op_t0_np = program.op_t0
+    n_ops = len(program.ops)
 
     # ---------------- decode ----------------
 
     def decode(llrs: jnp.ndarray) -> DecodeResult:
         bsz = llrs.shape[0]
-        lam0 = llrs.T.astype(jnp.float32)            # [N, B]
+        lam0 = llrs.T.astype(jnp.float32)
         iota = _iota_pb(bsz)
         pm0 = jnp.zeros((P, bsz), jnp.float32)
         if P > 1:
             pm0 = pm0.at[1:].set(BIG)
         state = {
+            "lam0": lam0,
             "lam": tuple(jnp.zeros((P, n_sizes[s], bsz), jnp.float32)
                          for s in range(1, m + 1)),
             "dec": tuple(jnp.zeros((factors[s - 1], P, n_sizes[s], bsz),
                                    jnp.int8) for s in range(1, m + 1)),
             "rlam": tuple(iota for _ in range(m)),
-            "rdec": tuple(jnp.broadcast_to(iota[None],
-                                           (factors[s - 1], P, bsz)).astype(jnp.int32)
-                          for s in range(1, m + 1)),
+            "rdec": tuple(jnp.broadcast_to(
+                iota[None], (factors[s - 1], P, bsz)).astype(jnp.int32)
+                for s in range(1, m + 1)),
             "pm": pm0,
             "traj_parent": jnp.zeros((N, P, bsz), jnp.int8),
             "traj_bit": jnp.zeros((N, P, bsz), jnp.int8),
         }
 
-        down_branches = [functools.partial(_down_branch, s) for s in range(1, m + 1)]
-        up_branches = [functools.partial(_up_branch, r) for r in range(m)]
+        def body(j, st):
+            return jax.lax.switch(jnp.asarray(op_code_np)[j], branches, st,
+                                  jnp.asarray(op_t0_np)[j])
 
-        def body(t, st):
-            st = jax.lax.switch(jnp.asarray(s_star_np)[t] - 1, down_branches, st, t, lam0)
-            st = _leaf_step(st, t)
-            st = jax.lax.switch(jnp.asarray(r_up_np)[t], up_branches, st, t)
-            return st
+        state = jax.lax.fori_loop(0, n_ops, body, state)
 
-        state = jax.lax.fori_loop(0, N, body, state)
-
-        # ---- genealogy backtrack: u for every surviving path ----
         def bt(p_state, xs):
             par_t, bit_t = xs
             bit = jnp.take_along_axis(bit_t, p_state, axis=0)
-            p_next = jnp.take_along_axis(par_t.astype(jnp.int32), p_state, axis=0)
+            p_next = jnp.take_along_axis(par_t.astype(jnp.int32), p_state,
+                                         axis=0)
             return p_next, bit
 
         _, bits_rev = jax.lax.scan(
             bt, iota, (state["traj_parent"][::-1], state["traj_bit"][::-1]))
-        u_all = bits_rev[::-1]                       # [N, P, B]
+        u_all = bits_rev[::-1]                             # [N, P, B]
 
-        # ---- CRC selection among survivors ----
-        payload_all = u_all[jnp.asarray(info_pos_np)]    # [K+c, P, B]
+        payload_all = u_all[jnp.asarray(info_pos_np)]
         if spec.crc is not None:
             k = spec.K
             g = jnp.asarray(spec.crc.generator_matrix(k).astype(np.float32))
@@ -267,14 +390,14 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False):
             bits = (jnp.einsum("kPB,kw->wPB",
                                payload_all[:k].astype(jnp.float32), g)
                     + off[:, None, None]) % 2.0
-            ok = jnp.all(bits.astype(jnp.int8) == payload_all[k:], axis=0)  # [P,B]
+            ok = jnp.all(bits.astype(jnp.int8) == payload_all[k:], axis=0)
             score = state["pm"] + BIG * (1.0 - ok.astype(jnp.float32))
         else:
             ok = jnp.ones((P, bsz), bool)
             score = state["pm"]
-        best = jnp.argmin(score, axis=0)             # [B]
+        best = jnp.argmin(score, axis=0)
         sel = best[None, None, :]
-        u_best = jnp.take_along_axis(u_all, sel, axis=1)[:, 0, :]        # [N, B]
+        u_best = jnp.take_along_axis(u_all, sel, axis=1)[:, 0, :]
         payload = jnp.take_along_axis(payload_all, sel, axis=1)[:, 0, :]
         crc_ok = jnp.take_along_axis(ok, best[None, :], axis=0)[0]
         pm_best = jnp.take_along_axis(state["pm"], best[None, :], axis=0)[0]
