@@ -1,0 +1,6 @@
+#!/bin/sh
+# Build the native golden decoder shared library.
+set -e
+cd "$(dirname "$0")"
+g++ -O2 -shared -fPIC -std=c++17 -o libpolar_ref.so polar_ref.cpp
+echo "built $(pwd)/libpolar_ref.so"
