@@ -15,6 +15,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from polar_tpu.utils.compilecache import enable
+    enable()
+
     from polar_tpu.models.presets import ca_scl
     from polar_tpu.ops.scl import build_scl_decoder
     from polar_tpu.sim.channel import ebn0_to_sigma

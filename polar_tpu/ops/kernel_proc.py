@@ -86,13 +86,13 @@ class StageProcessor:
         mask = (jnp.arange(self.l) < i).astype(jnp.float32)  # [l]
         d = dec_g.astype(jnp.float32) * mask[:, None, None, None]
         coset = jnp.einsum("jPnB,jk->PknB", d, jnp.asarray(self.k_f32)) % 2.0
-        return 1.0 - 2.0 * coset
+        return (1.0 - 2.0 * coset)
 
     # ---- per-input LLR --------------------------------------------------
 
     def _maxcorr(self, lam_adj: jnp.ndarray, i: int) -> jnp.ndarray:
         """max over tail codewords of correlation; lam_adj [.., l, n, B]."""
-        t = jnp.asarray(self.tables[i])  # [l, C]
+        t = jnp.asarray(self.tables[i], dtype=lam_adj.dtype)  # [l, C]
         c = t.shape[1]
         if c <= _CHUNK:
             corr = jnp.einsum("...lnB,lc->...nBc", lam_adj, t)
@@ -124,10 +124,12 @@ class StageProcessor:
             return a + b  # g with u0 absorbed into the coset sign of a
         if i == self.l - 1:  # single tail codeword: plain correlation diff
             return jnp.einsum("PlnB,l->PnB", lam_adj,
-                              jnp.asarray(self.kernel[i].astype(np.float32)))
+                              jnp.asarray(self.kernel[i].astype(np.float32),
+                                          dtype=lam_adj.dtype))
         both = jnp.stack(
             [lam_adj,
-             lam_adj * jnp.asarray(self.row_signs[i])[None, :, None, None]])
+             lam_adj * jnp.asarray(self.row_signs[i],
+                                   dtype=lam_adj.dtype)[None, :, None, None]])
         if self.backend[i] == "trellis":
             from polar_tpu.kernels.trellis import min_path_cost
 

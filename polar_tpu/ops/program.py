@@ -92,8 +92,8 @@ def build_program(spec: CodeSpec, scl: bool, classify: bool = True,
             if n >= 2 and not fr.any() and (not scl or fast_r1_scl):
                 ops.append(Op(R1, d, t0))
                 return
-            if (n >= 4 and not scl and fr[0] == 1 and not fr[1:].any()
-                    and _spc_valid_below(spec, d)):
+            if (n >= 4 and (not scl or fast_r1_scl) and fr[0] == 1
+                    and not fr[1:].any() and _spc_valid_below(spec, d)):
                 ops.append(Op(SPC, d, t0))
                 return
         if d == m:

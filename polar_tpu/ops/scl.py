@@ -61,7 +61,8 @@ class DecodeResult(NamedTuple):
 
 
 def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
-                      fast: bool = True, fast_r1_scl: bool = True):
+                      fast: bool = True, fast_r1_scl: bool = True,
+                      llr_dtype=jnp.float32):
     """Returns decode(llrs: [B, N] f32) -> DecodeResult. Jit the result.
 
     fast: use the pruned fast-SSC(L) node program (exact; see
@@ -69,7 +70,10 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
     (identical survivors/metrics; tie ordering may differ from
     leaf-sequential SCL). genie (list_size must be 1): all leaves decided
     as the true all-zero codeword; returned u records per-leaf LLR sign
-    errors (Monte-Carlo construction aid, SURVEY.md C6).
+    errors (Monte-Carlo construction aid, SURVEY.md C6). llr_dtype:
+    bfloat16 halves LLR memory traffic (HBM is the usual TPU bottleneck);
+    path metrics stay float32. Default float32 preserves oracle
+    bit-exactness.
     """
     if genie and list_size != 1:
         raise ValueError("genie mode requires list_size=1")
@@ -139,6 +143,8 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
     def _fork2(pm, pen0, pen1):
         """Bit-major 2-way fork + top-L: returns (pm', perm, bit)."""
         b = pm.shape[-1]
+        pen0 = pen0.astype(jnp.float32)
+        pen1 = pen1.astype(jnp.float32)
         cand = jnp.concatenate([pm + pen0, pm + pen1], axis=0)   # [2P, B]
         vals, idx = jax.lax.top_k(-cand.T, P)
         c = idx.T.astype(jnp.int32)
@@ -181,7 +187,9 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
             i = jnp.asarray(digits_np)[t0, s - 1]
             llr = proc.dynamic_llr(i, view, _dec_gather(state, s))
         b = llr.shape[-1]
-        llr = jnp.broadcast_to(llr, (P, n_sizes[s], b))
+        # single choke point for the LLR dtype: mixed-precision helpers may
+        # promote to f32; the carried buffers stay llr_dtype
+        llr = jnp.broadcast_to(llr, (P, n_sizes[s], b)).astype(llr_dtype)
         state = dict(state)
         state["lam"] = _tset(state["lam"], s - 1, llr)
         state["rlam"] = _tset(state["rlam"], s - 1, _iota_pb(b))
@@ -198,7 +206,8 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         lam = state["lam"][d - 1]                          # [P, n_d, B]
         n = n_sizes[d]
         state = dict(state)
-        state["pm"] = state["pm"] + jnp.sum(jnp.maximum(-lam, 0.0), axis=1)
+        state["pm"] = state["pm"] + jnp.sum(
+            jnp.maximum(-lam, 0.0), axis=1).astype(jnp.float32)
         zeros = jnp.zeros_like(lam, dtype=jnp.int8)
         state = _write_traj(state, t0, n, _iota_pb(lam.shape[-1]), zeros)
         if d >= 1:
@@ -209,8 +218,8 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         lam = state["lam"][d - 1]
         n = n_sizes[d]
         b = lam.shape[-1]
-        s0 = jnp.sum(jnp.maximum(-lam, 0.0), axis=1)       # [P, B]
-        s1 = jnp.sum(jnp.maximum(lam, 0.0), axis=1)
+        s0 = jnp.sum(jnp.maximum(-lam, 0.0), axis=1).astype(jnp.float32)
+        s1 = jnp.sum(jnp.maximum(lam, 0.0), axis=1).astype(jnp.float32)
         if P == 1:
             bit = (s1 < s0).astype(jnp.int8)
             pm = state["pm"] + jnp.where(bit == 1, s1, s0)
@@ -237,7 +246,7 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         # Fast-SSCL: q keep/flip forks on the least reliable positions
         q = min(P - 1, n)
         absl = jnp.moveaxis(jnp.abs(lam), 1, -1)           # [P, B, n]
-        negv, pos = jax.lax.top_k(-absl, q)                # [P, B, q]
+        negv, pos = jax.lax.top_k(-absl.astype(jnp.float32), q)  # [P,B,q]
         vals = -negv
         node_map = _iota_pb(b)
         flips = jnp.zeros((P, q, b), jnp.int8)
@@ -266,28 +275,72 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         return _write_dec(state, d, t0, xhat)
 
     def _spc(state, d, t0):
+        """Single-parity-check node. SC: hd + flip the least-reliable
+        position on parity failure. SCL: Fast-SSCL-SPC — mandatory parity
+        fix, then min(L, n-1) keep/flip pair-forks with a per-path parity
+        state eta tracking whether the least-reliable bit is currently
+        flipped (exact PM accounting: total = sum of selected |lam_ir| +
+        eta_final * |lam_i0|)."""
         lam = state["lam"][d - 1]
         n = n_sizes[d]
         b = lam.shape[-1]
         hd = (lam < 0).astype(jnp.int8)
-        par = jnp.sum(hd, axis=1) % 2                      # [P, B]
+        par = (jnp.sum(hd, axis=1) % 2).astype(jnp.int8)   # [P, B]
         absl = jnp.abs(lam)
-        minabs = jnp.min(absl, axis=1)
-        amin = jnp.argmin(absl, axis=1).astype(jnp.int32)  # [P, B]
         iota_n = jnp.arange(n, dtype=jnp.int32)
-        onehot = (iota_n[None, :, None] == amin[:, None, :])
-        xhat = hd ^ (onehot & (par[:, None, :] == 1)).astype(jnp.int8)
+        if P == 1:
+            minabs = jnp.min(absl, axis=1).astype(jnp.float32)
+            amin = jnp.argmin(absl, axis=1).astype(jnp.int32)
+            onehot = (iota_n[None, :, None] == amin[:, None, :])
+            xhat = hd ^ (onehot & (par[:, None, :] == 1)).astype(jnp.int8)
+            state = dict(state)
+            state["pm"] = state["pm"] + minabs * par.astype(jnp.float32)
+            u = _apply_inverse(d, xhat)
+            state = _write_traj(state, t0, n, _iota_pb(b), u)
+            return _write_dec(state, d, t0, xhat)
+        # ---- SCL ----
+        q = min(P, n - 1)
+        srt = jnp.moveaxis(absl, 1, -1).astype(jnp.float32)   # [P, B, n]
+        negv, pos = jax.lax.top_k(-srt, q + 1)                # least reliable
+        vals = -negv                                          # [P, B, q+1]
+        v0 = vals[:, :, 0]                                    # |lam_i0|
+        pm = state["pm"] + par.astype(jnp.float32) * v0       # mandatory fix
+        eta = par                                             # i0 flipped?
+        node_map = _iota_pb(b)
+        flips = jnp.zeros((P, q, b), jnp.int8)
+        for r in range(1, q + 1):
+            v_r = jnp.take_along_axis(vals[:, :, r], node_map, axis=0)
+            v0_g = jnp.take_along_axis(v0, node_map, axis=0)
+            pen_flip = v_r + (1.0 - 2.0 * eta.astype(jnp.float32)) * v0_g
+            pm2, perm, flip = _fork2(pm, jnp.zeros_like(pen_flip), pen_flip)
+            pm = pm2
+            node_map = jnp.take_along_axis(node_map, perm, axis=0)
+            eta = jnp.take_along_axis(eta, perm, axis=0) ^ flip
+            flips = jnp.take_along_axis(
+                flips, jnp.broadcast_to(perm[:, None, :], flips.shape), axis=0)
+            flips = flips.at[:, r - 1, :].set(flip)
+        hd_g = jnp.take_along_axis(hd, node_map[:, None, :], axis=0)
+        pos_g = jnp.take_along_axis(pos, node_map[:, :, None], axis=0)
+        xhat = hd_g
+        # i0 flip per final eta state
+        onehot0 = (iota_n[None, :, None] == pos_g[:, :, 0][:, None, :])
+        xhat = xhat ^ (onehot0 & (eta[:, None, :] == 1)).astype(jnp.int8)
+        for r in range(1, q + 1):
+            onehot = (iota_n[None, :, None] == pos_g[:, :, r][:, None, :])
+            xhat = xhat ^ (onehot & (flips[:, r - 1, :][:, None, :] == 1)
+                           ).astype(jnp.int8)
+        state = _apply_perm(state, node_map)
         state = dict(state)
-        state["pm"] = state["pm"] + minabs * par.astype(jnp.float32)
+        state["pm"] = pm
         u = _apply_inverse(d, xhat)
-        state = _write_traj(state, t0, n, _iota_pb(b), u)
+        state = _write_traj(state, t0, n, node_map, u)
         return _write_dec(state, d, t0, xhat)
 
     def _leaf(state, t):
         b = state["pm"].shape[-1]
         lam_leaf = state["lam"][m - 1][:, 0, :]
-        pen0 = jnp.maximum(-lam_leaf, 0.0)
-        pen1 = jnp.maximum(lam_leaf, 0.0)
+        pen0 = jnp.maximum(-lam_leaf, 0.0).astype(jnp.float32)
+        pen1 = jnp.maximum(lam_leaf, 0.0).astype(jnp.float32)
         iota = _iota_pb(b)
         if genie:
             bit = jnp.zeros((P, b), jnp.int8)
@@ -345,14 +398,14 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
 
     def decode(llrs: jnp.ndarray) -> DecodeResult:
         bsz = llrs.shape[0]
-        lam0 = llrs.T.astype(jnp.float32)
+        lam0 = llrs.T.astype(llr_dtype)
         iota = _iota_pb(bsz)
         pm0 = jnp.zeros((P, bsz), jnp.float32)
         if P > 1:
             pm0 = pm0.at[1:].set(BIG)
         state = {
             "lam0": lam0,
-            "lam": tuple(jnp.zeros((P, n_sizes[s], bsz), jnp.float32)
+            "lam": tuple(jnp.zeros((P, n_sizes[s], bsz), llr_dtype)
                          for s in range(1, m + 1)),
             "dec": tuple(jnp.zeros((factors[s - 1], P, n_sizes[s], bsz),
                                    jnp.int8) for s in range(1, m + 1)),

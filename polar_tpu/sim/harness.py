@@ -115,8 +115,14 @@ def run_sweep(preset: Preset, frames: int | None = None,
     global_batch = pdb * n_dev
 
     raw_step = make_mc_step(preset.spec, preset.list_size)
-    step = jax.jit(sharded_mc_step(
-        lambda key, args: raw_step(key, args, pdb), mesh))
+    if n_dev == 1:
+        # single chip: no collective needed — and the axon remote-TPU
+        # plugin hangs on shard_map/psum, so don't route through it
+        step = jax.jit(lambda key, args: raw_step(
+            jax.random.fold_in(key, 0), args, pdb))
+    else:
+        step = jax.jit(sharded_mc_step(
+            lambda key, args: raw_step(key, args, pdb), mesh))
 
     state = None
     spath = pathlib.Path(state_path) if state_path else None

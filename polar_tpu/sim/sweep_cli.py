@@ -32,7 +32,13 @@ def main(argv=None):
     p.add_argument("--jsonl", default=None, help="append results here")
     p.add_argument("--min-frame-errors", type=int, default=0,
                    help="early-stop a point after this many frame errors")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the steady-state "
+                        "sweep into DIR (view with XProf/Perfetto)")
     args = p.parse_args(argv)
+
+    from polar_tpu.utils.compilecache import enable
+    enable()
 
     from polar_tpu.parallel.mesh import init_multihost
     init_multihost()
@@ -46,10 +52,24 @@ def main(argv=None):
         preset = dataclasses.replace(preset, list_size=args.list_size)
 
     from polar_tpu.sim.harness import run_sweep
-    recs = run_sweep(preset, frames=args.frames,
-                     per_device_batch=args.per_device_batch, seed=args.seed,
-                     state_path=args.state, jsonl_path=args.jsonl,
-                     min_frame_errors=args.min_frame_errors)
+    if args.profile:
+        # tracing/profiling subsystem (SURVEY.md §5): warm up one tiny
+        # sweep to compile, then trace the steady state
+        import jax
+
+        run_sweep(preset, frames=1, per_device_batch=args.per_device_batch,
+                  seed=args.seed, progress=False)
+        with jax.profiler.trace(args.profile):
+            recs = run_sweep(preset, frames=args.frames,
+                             per_device_batch=args.per_device_batch,
+                             seed=args.seed, jsonl_path=args.jsonl,
+                             min_frame_errors=args.min_frame_errors)
+    else:
+        recs = run_sweep(preset, frames=args.frames,
+                         per_device_batch=args.per_device_batch,
+                         seed=args.seed,
+                         state_path=args.state, jsonl_path=args.jsonl,
+                         min_frame_errors=args.min_frame_errors)
     print(json.dumps({"summary": [
         {"ebn0_db": r["ebn0_db"], "fer": r["fer"], "ber": r["ber"],
          "frames": r["frames"]} for r in recs]}))
