@@ -150,11 +150,24 @@ class StageProcessor:
                     for j in range(self.l)]
         return jax.lax.switch(i, branches, lam_adj)
 
+    def static_llr(self, i: int, lam_view: jnp.ndarray,
+                   dec_g: jnp.ndarray) -> jnp.ndarray:
+        """Input-i LLR with *static* i (unrolled op program): no lax.switch,
+        and for the 2x2 kernel the coset matmul collapses to a single sign
+        flip of the first output (g's u0 term)."""
+        if self.l == 2 and i == 1:
+            a = lam_view[:, 0] * (1.0 - 2.0 * dec_g[0].astype(lam_view.dtype))
+            return a + lam_view[:, 1]
+        lam_adj = lam_view * self.coset_signs(dec_g, i)
+        return self._llr_static(i, lam_adj)
+
     # ---- re-encode ------------------------------------------------------
 
     def reencode(self, dec_g: jnp.ndarray) -> jnp.ndarray:
         """Hard re-encode a completed node: dec_g [l, P, n, B] child bits ->
         output block [P, l, n, B] (x = u @ K mod 2 along the kernel axis)."""
+        if self.l == 2:  # Arikan: x = (u0^u1, u1) — pure int8 XOR, no f32
+            return jnp.stack([dec_g[0] ^ dec_g[1], dec_g[1]], axis=1)
         x = jnp.einsum("jPnB,jk->PknB", dec_g.astype(jnp.float32),
                        jnp.asarray(self.k_f32)) % 2.0
         return x.astype(jnp.int8)

@@ -62,7 +62,7 @@ class DecodeResult(NamedTuple):
 
 def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
                       fast: bool = True, fast_r1_scl: bool = True,
-                      llr_dtype=jnp.float32):
+                      llr_dtype=jnp.float32, unroll: bool = True):
     """Returns decode(llrs: [B, N] f32) -> DecodeResult. Jit the result.
 
     fast: use the pruned fast-SSC(L) node program (exact; see
@@ -73,7 +73,11 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
     errors (Monte-Carlo construction aid, SURVEY.md C6). llr_dtype:
     bfloat16 halves LLR memory traffic (HBM is the usual TPU bottleneck);
     path metrics stay float32. Default float32 preserves oracle
-    bit-exactness.
+    bit-exactness. unroll: trace the (static) op program as straight-line
+    XLA code instead of `fori_loop`+`switch` — every t0-derived index
+    becomes a compile-time constant (static slices, no per-input
+    `lax.switch`, frozen leaves skip the fork), letting XLA fuse across op
+    boundaries; same math, bit-identical results, larger compile.
     """
     if genie and list_size != 1:
         raise ValueError("genie mode requires list_size=1")
@@ -98,6 +102,20 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
     def _iota_pb(b):
         return jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None], (P, b))
 
+    def _pgather(x, idx, axis):
+        """take_along_axis(x, idx, axis) over the path axis as a one-hot
+        select-sum. XLA lowers a generic per-lane gather to a *serialized*
+        scalar loop on TPU (~1 element/cycle — measured ~9 ms per op at
+        [8, 512, 2048]); P static selects stay on the VPU. idx broadcasts
+        against x like jnp.take_along_axis."""
+        acc = None
+        for p in range(P):
+            xp = jax.lax.index_in_dim(x, p, axis, keepdims=True)
+            mask = idx == p
+            acc = jnp.where(mask, xp, acc if acc is not None
+                            else jnp.zeros((), x.dtype))
+        return acc
+
     def _tset(tup, idx, val):
         return tup[:idx] + (val,) + tup[idx + 1:]
 
@@ -107,17 +125,18 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         """Permute all path->slot maps by survival permutation [P, B]."""
         state = dict(state)
         state["rlam"] = tuple(
-            jnp.take_along_axis(r, perm, axis=0) for r in state["rlam"])
+            _pgather(r, perm, 0) for r in state["rlam"])
         state["rdec"] = tuple(
-            jnp.take_along_axis(r, jnp.broadcast_to(perm[None], r.shape),
-                                axis=1)
-            for r in state["rdec"])
+            _pgather(r, perm[None], 1) for r in state["rdec"])
         return state
 
     def _write_dec(state, d, t0, block):
         """Record a depth-d node's hard output block [P, n_d, B] as child
         digits[t0, d-1] of its parent's kernel."""
-        idx = jnp.asarray(digits_np)[t0, d - 1]
+        if isinstance(t0, (int, np.integer)):
+            idx = int(digits_np[t0, d - 1])
+        else:
+            idx = jnp.asarray(digits_np)[t0, d - 1]
         b = block.shape[-1]
         state = dict(state)
         state["dec"] = _tset(state["dec"], d - 1,
@@ -128,17 +147,41 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
 
     def _write_traj(state, t0, n, perm_first, bits_pnb):
         """Genealogy for a node covering leaves [t0, t0+n): composed perm at
-        the first leaf, identity elsewhere; bits in final path indexing."""
+        the first leaf, identity elsewhere; bits in final path indexing.
+
+        unroll mode records one perm per traj op instead (ops cover disjoint
+        leaf ranges in increasing t0 order), letting the final backtrack run
+        as an associative scan over ~n_ops perms rather than a sequential
+        N-step scan."""
         b = bits_pnb.shape[-1]
         state = dict(state)
-        par = jnp.broadcast_to(_iota_pb(b)[None], (n, P, b)).astype(jnp.int8)
-        par = par.at[0].set(perm_first.astype(jnp.int8))
         bits = jnp.moveaxis(bits_pnb, 1, 0).astype(jnp.int8)   # [n, P, B]
-        state["traj_parent"] = jax.lax.dynamic_update_slice(
-            state["traj_parent"], par, (t0, 0, 0))
         state["traj_bit"] = jax.lax.dynamic_update_slice(
             state["traj_bit"], bits, (t0, 0, 0))
+        if unroll:
+            state["traj_perms"] = state["traj_perms"] + (
+                (int(t0), int(n), perm_first.astype(jnp.int32)),)
+            return state
+        par = jnp.broadcast_to(_iota_pb(b)[None], (n, P, b)).astype(jnp.int8)
+        par = par.at[0].set(perm_first.astype(jnp.int8))
+        state["traj_parent"] = jax.lax.dynamic_update_slice(
+            state["traj_parent"], par, (t0, 0, 0))
         return state
+
+    def _extract_mins(absl, count):
+        """count smallest values + positions along axis 1 of [P, n, B], in
+        ascending order, ties to the lowest index (== lax.top_k on the
+        negated transposed array, without the transpose or the sort).
+        Returns (vals, poss): lists of [P, B] f32 / int32."""
+        iota_col = jnp.arange(absl.shape[1], dtype=jnp.int32)[None, :, None]
+        vals, poss = [], []
+        work = absl
+        for _ in range(count):
+            vals.append(jnp.min(work, axis=1))
+            a = jnp.argmin(work, axis=1).astype(jnp.int32)
+            poss.append(a)
+            work = jnp.where(iota_col == a[:, None, :], BIG, work)
+        return vals, poss
 
     def _fork2(pm, pen0, pen1):
         """Bit-major 2-way fork + top-L: returns (pm', perm, bit)."""
@@ -154,6 +197,14 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         """u = x @ (K_{d+1} kron ... kron K_m)^-1 for blocks [P, n_d, B]."""
         below = factors[d:]
         p_, n, b = x_bits.shape
+        if all(f == 2 for f in below):
+            # Arikan F is self-inverse over GF(2): butterfly XORs in int8
+            t = x_bits.reshape((p_,) + tuple(below) + (b,))
+            for ax in range(len(below)):
+                x0 = jax.lax.index_in_dim(t, 0, 1 + ax, keepdims=True)
+                x1 = jax.lax.index_in_dim(t, 1, 1 + ax, keepdims=True)
+                t = jnp.concatenate([x0 ^ x1, x1], axis=1 + ax)
+            return t.reshape(p_, n, b)
         t = x_bits.astype(jnp.float32).reshape((p_,) + tuple(below) + (b,))
         for ax, s in enumerate(range(d, m)):
             ki = jnp.asarray(inv_kernels[s])
@@ -168,21 +219,22 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         if s == 1:
             b = lam0.shape[-1]
             return lam0.reshape(1, l, n, b)
-        lam_prev = jnp.take_along_axis(
-            state["lam"][s - 2], state["rlam"][s - 2][:, None, :], axis=0)
+        lam_prev = _pgather(
+            state["lam"][s - 2], state["rlam"][s - 2][:, None, :], 0)
         return lam_prev.reshape(P, l, n, lam_prev.shape[-1])
 
     def _dec_gather(state, s):
         rd = state["rdec"][s - 1][:, :, None, :]
-        return jnp.take_along_axis(
-            state["dec"][s - 1],
-            jnp.broadcast_to(rd, state["dec"][s - 1].shape), axis=1)
+        return _pgather(state["dec"][s - 1], rd, 1)
 
     def _down(state, s, t0, fresh):
         view = _parent_view(state, s, lam0=state["lam0"])
         proc = procs[s - 1]
         if fresh:
             llr = proc.fresh_llr(view)
+        elif isinstance(t0, (int, np.integer)):
+            llr = proc.static_llr(int(digits_np[t0, s - 1]), view,
+                                  _dec_gather(state, s))
         else:
             i = jnp.asarray(digits_np)[t0, s - 1]
             llr = proc.dynamic_llr(i, view, _dec_gather(state, s))
@@ -243,28 +295,28 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
             u = _apply_inverse(d, hd)
             state = _write_traj(state, t0, n, _iota_pb(b), u)
             return _write_dec(state, d, t0, hd)
-        # Fast-SSCL: q keep/flip forks on the least reliable positions
+        # Fast-SSCL: q keep/flip forks on the least reliable positions.
+        # Least-reliable extraction is q sequential (min, argmin, mask)
+        # passes in the native [P, n, B] layout — no lane transpose, no
+        # XLA sort; tie order (lowest index first) matches lax.top_k.
         q = min(P - 1, n)
-        absl = jnp.moveaxis(jnp.abs(lam), 1, -1)           # [P, B, n]
-        negv, pos = jax.lax.top_k(-absl.astype(jnp.float32), q)  # [P,B,q]
-        vals = -negv
+        vals, poss = _extract_mins(jnp.abs(lam).astype(jnp.float32), q)
         node_map = _iota_pb(b)
         flips = jnp.zeros((P, q, b), jnp.int8)
         pm = state["pm"]
         for r in range(q):
-            v = jnp.take_along_axis(vals[:, :, r], node_map, axis=0)
+            v = _pgather(vals[r], node_map, 0)
             pm2, perm, flip = _fork2(pm, jnp.zeros_like(v), v)
             pm = pm2
-            node_map = jnp.take_along_axis(node_map, perm, axis=0)
-            flips = jnp.take_along_axis(
-                flips, jnp.broadcast_to(perm[:, None, :], flips.shape), axis=0)
+            node_map = _pgather(node_map, perm, 0)
+            flips = _pgather(flips, perm[:, None, :], 0)
             flips = flips.at[:, r, :].set(flip)
-        hd_g = jnp.take_along_axis(hd, node_map[:, None, :], axis=0)
-        pos_g = jnp.take_along_axis(pos, node_map[:, :, None], axis=0)
+        hd_g = _pgather(hd, node_map[:, None, :], 0)
         xhat = hd_g
         iota_n = jnp.arange(n, dtype=jnp.int32)
         for r in range(q):
-            onehot = (iota_n[None, :, None] == pos_g[:, :, r][:, None, :])
+            pos_g = _pgather(poss[r], node_map, 0)         # [P, B]
+            onehot = (iota_n[None, :, None] == pos_g[:, None, :])
             xhat = xhat ^ (onehot & (flips[:, r, :][:, None, :] == 1)
                            ).astype(jnp.int8)
         state = _apply_perm(state, node_map)
@@ -300,33 +352,31 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
             return _write_dec(state, d, t0, xhat)
         # ---- SCL ----
         q = min(P, n - 1)
-        srt = jnp.moveaxis(absl, 1, -1).astype(jnp.float32)   # [P, B, n]
-        negv, pos = jax.lax.top_k(-srt, q + 1)                # least reliable
-        vals = -negv                                          # [P, B, q+1]
-        v0 = vals[:, :, 0]                                    # |lam_i0|
+        vals, poss = _extract_mins(absl.astype(jnp.float32), q + 1)
+        v0 = vals[0]                                          # |lam_i0|
         pm = state["pm"] + par.astype(jnp.float32) * v0       # mandatory fix
         eta = par                                             # i0 flipped?
         node_map = _iota_pb(b)
         flips = jnp.zeros((P, q, b), jnp.int8)
         for r in range(1, q + 1):
-            v_r = jnp.take_along_axis(vals[:, :, r], node_map, axis=0)
-            v0_g = jnp.take_along_axis(v0, node_map, axis=0)
+            v_r = _pgather(vals[r], node_map, 0)
+            v0_g = _pgather(v0, node_map, 0)
             pen_flip = v_r + (1.0 - 2.0 * eta.astype(jnp.float32)) * v0_g
             pm2, perm, flip = _fork2(pm, jnp.zeros_like(pen_flip), pen_flip)
             pm = pm2
-            node_map = jnp.take_along_axis(node_map, perm, axis=0)
-            eta = jnp.take_along_axis(eta, perm, axis=0) ^ flip
-            flips = jnp.take_along_axis(
-                flips, jnp.broadcast_to(perm[:, None, :], flips.shape), axis=0)
+            node_map = _pgather(node_map, perm, 0)
+            eta = _pgather(eta, perm, 0) ^ flip
+            flips = _pgather(flips, perm[:, None, :], 0)
             flips = flips.at[:, r - 1, :].set(flip)
-        hd_g = jnp.take_along_axis(hd, node_map[:, None, :], axis=0)
-        pos_g = jnp.take_along_axis(pos, node_map[:, :, None], axis=0)
+        hd_g = _pgather(hd, node_map[:, None, :], 0)
         xhat = hd_g
         # i0 flip per final eta state
-        onehot0 = (iota_n[None, :, None] == pos_g[:, :, 0][:, None, :])
+        pos0_g = _pgather(poss[0], node_map, 0)
+        onehot0 = (iota_n[None, :, None] == pos0_g[:, None, :])
         xhat = xhat ^ (onehot0 & (eta[:, None, :] == 1)).astype(jnp.int8)
         for r in range(1, q + 1):
-            onehot = (iota_n[None, :, None] == pos_g[:, :, r][:, None, :])
+            pos_g = _pgather(poss[r], node_map, 0)
+            onehot = (iota_n[None, :, None] == pos_g[:, None, :])
             xhat = xhat ^ (onehot & (flips[:, r - 1, :][:, None, :] == 1)
                            ).astype(jnp.int8)
         state = _apply_perm(state, node_map)
@@ -348,6 +398,25 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
             state = dict(state)
             state["pm"] = state["pm"] + pen0
             state = _write_traj(state, t, 1, iota, err[:, None, :])
+            return _write_dec(state, m, t, bit[:, None, :])
+        if isinstance(t, (int, np.integer)):
+            # static leaf (unrolled program): frozen-ness is compile-time
+            if bool(frozen_np[t]):
+                bit = jnp.zeros((P, b), jnp.int8)
+                state = dict(state)
+                state["pm"] = state["pm"] + pen0
+                state = _write_traj(state, t, 1, iota, bit[:, None, :])
+                return _write_dec(state, m, t, bit[:, None, :])
+            if P == 1:
+                bit = (lam_leaf < 0).astype(jnp.int8)
+                pm = state["pm"] + jnp.where(bit == 1, pen1, pen0)
+                perm = iota
+            else:
+                pm, perm, bit = _fork2(state["pm"], pen0, pen1)
+                state = _apply_perm(state, perm)
+            state = dict(state)
+            state["pm"] = pm
+            state = _write_traj(state, t, 1, perm, bit[:, None, :])
             return _write_dec(state, m, t, bit[:, None, :])
         frozen_t = jnp.asarray(frozen_np)[t]
         if P == 1:
@@ -414,28 +483,76 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
                 iota[None], (factors[s - 1], P, bsz)).astype(jnp.int32)
                 for s in range(1, m + 1)),
             "pm": pm0,
-            "traj_parent": jnp.zeros((N, P, bsz), jnp.int8),
             "traj_bit": jnp.zeros((N, P, bsz), jnp.int8),
         }
+        if unroll:
+            state["traj_perms"] = ()
+        else:
+            state["traj_parent"] = jnp.zeros((N, P, bsz), jnp.int8)
 
-        def body(j, st):
-            return jax.lax.switch(jnp.asarray(op_code_np)[j], branches, st,
-                                  jnp.asarray(op_t0_np)[j])
+        if unroll:
+            # straight-line trace of the static op program: all indices
+            # derived from t0 are compile-time constants, XLA fuses freely
+            for j in range(n_ops):
+                state = branches[int(op_code_np[j])](state, int(op_t0_np[j]))
+        else:
+            def body(j, st):
+                return jax.lax.switch(jnp.asarray(op_code_np)[j], branches,
+                                      st, jnp.asarray(op_t0_np)[j])
 
-        state = jax.lax.fori_loop(0, n_ops, body, state)
+            state = jax.lax.fori_loop(0, n_ops, body, state)
 
-        def bt(p_state, xs):
-            par_t, bit_t = xs
-            bit = jnp.take_along_axis(bit_t, p_state, axis=0)
-            p_next = jnp.take_along_axis(par_t.astype(jnp.int32), p_state,
-                                         axis=0)
-            return p_next, bit
+        if unroll:
+            entries = state["traj_perms"]     # leaf order, disjoint spans
+            if P == 1:
+                pieces = [state["traj_bit"][t0:t0 + n]
+                          for (t0, n, _) in entries]
+                u_all = state["traj_bit"]
+            else:
+                # S_q = perm_{q+1} o ... o perm_{Q-1} (exclusive suffix
+                # composition): u bits of op q, stored in op-q path
+                # indexing, map to final path indexing through S_q.
+                perms = jnp.stack([p for _, _, p in entries])  # [Q, P, B]
 
-        _, bits_rev = jax.lax.scan(
-            bt, iota, (state["traj_parent"][::-1], state["traj_bit"][::-1]))
-        u_all = bits_rev[::-1]                             # [N, P, B]
+                def comp(a, b):                # b o a per lane
+                    return _pgather(b, a, -2)
 
-        payload_all = u_all[jnp.asarray(info_pos_np)]
+                inc = jax.lax.associative_scan(comp, perms, reverse=True)
+                pieces = []
+                for q, (t0, n, _) in enumerate(entries):
+                    s_q = inc[q + 1] if q + 1 < len(entries) else iota
+                    blk = state["traj_bit"][t0:t0 + n]
+                    pieces.append(_pgather(blk, s_q[None], 1))
+                u_all = jnp.concatenate(pieces, axis=0)    # [N, P, B]
+            # payload rows assembled per op from static slices (a 528-row
+            # static gather over u_all also serializes on TPU)
+            ppieces = []
+            for (t0, n, _), g in zip(entries, pieces):
+                fr = frozen_np[t0:t0 + n]
+                if genie or not fr.any():
+                    ppieces.append(g)
+                elif not fr.all():
+                    rows = np.nonzero(fr == 0)[0]
+                    ppieces.append(jnp.concatenate(
+                        [g[int(j)][None] for j in rows], axis=0))
+            if genie:
+                payload_all = jnp.concatenate(ppieces, axis=0)[
+                    jnp.asarray(info_pos_np)]
+            else:
+                payload_all = jnp.concatenate(ppieces, axis=0)
+        else:
+            def bt(p_state, xs):
+                par_t, bit_t = xs
+                bit = jnp.take_along_axis(bit_t, p_state, axis=0)
+                p_next = jnp.take_along_axis(par_t.astype(jnp.int32),
+                                             p_state, axis=0)
+                return p_next, bit
+
+            _, bits_rev = jax.lax.scan(
+                bt, iota,
+                (state["traj_parent"][::-1], state["traj_bit"][::-1]))
+            u_all = bits_rev[::-1]                         # [N, P, B]
+            payload_all = u_all[jnp.asarray(info_pos_np)]
         if spec.crc is not None:
             k = spec.K
             g = jnp.asarray(spec.crc.generator_matrix(k).astype(np.float32))
@@ -450,10 +567,10 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
             score = state["pm"]
         best = jnp.argmin(score, axis=0)
         sel = best[None, None, :]
-        u_best = jnp.take_along_axis(u_all, sel, axis=1)[:, 0, :]
-        payload = jnp.take_along_axis(payload_all, sel, axis=1)[:, 0, :]
-        crc_ok = jnp.take_along_axis(ok, best[None, :], axis=0)[0]
-        pm_best = jnp.take_along_axis(state["pm"], best[None, :], axis=0)[0]
+        u_best = _pgather(u_all, sel, 1)[:, 0, :]
+        payload = _pgather(payload_all, sel, 1)[:, 0, :]
+        crc_ok = _pgather(ok, best[None, :], 0)[0]
+        pm_best = _pgather(state["pm"], best[None, :], 0)[0]
         return DecodeResult(u=u_best.T, payload=payload.T,
                             crc_ok=crc_ok, pm=pm_best)
 

@@ -19,3 +19,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# unrolled decoder programs are compile-heavy; reuse executables across
+# test runs (cache is keyed by HLO, so correctness is unaffected)
+from polar_tpu.utils.compilecache import enable  # noqa: E402
+
+enable()
