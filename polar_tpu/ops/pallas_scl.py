@@ -1,0 +1,428 @@
+"""Pallas TPU mega-kernel SCL decoder: one kernel per batch tile, state
+resident in VMEM for the entire decode.
+
+Motivation (ARCHITECTURE.md §1b, §8): the unrolled XLA decoder is
+dispatch/HBM-bound — every one of the ~316 program ops is a separate
+fusion whose inputs and outputs round-trip HBM. This kernel runs the whole
+fast-SSCL op program (ops/program.py) inside a single `pallas_call`: per
+128-lane batch tile, all per-stage LLR/decision buffers live in VMEM
+(~9 MB for N=1024, L=8), every op is straight-line VPU code, and only the
+channel LLRs (in) and genealogy/metrics (out) touch HBM.
+
+Replaces the reference's per-codeword C++ `ListDecoder` recursion
+(SURVEY.md C9, §3.4; mount empty, §0) at the other end of the design
+space: batch-lockstep, static schedule, sort-free top-L.
+
+TPU-specific choices:
+- **Rank-select instead of sort** for the 2L->L fork: candidate c's rank =
+  #{c' : metric smaller, ties by index} computed with 2L-1 sublane rolls;
+  survivors extracted by one-hot sums. Bit-identical to `lax.top_k` on
+  negated metrics (survivors sorted by (metric, candidate index)).
+- **No argmin**: least-reliable positions come from (min, first-match-min)
+  reduction pairs, ties to the lowest index, matching ops/scl.py exactly.
+- **One-hot path gathers** (P static selects) exactly as in ops/scl.py —
+  a real gather does not exist on the VPU.
+- **Trace-time fork epochs** (ops/scl.py `_apply_perm`): reads of buffers
+  written since the last fork skip the gather entirely.
+
+Only pure-Arikan kernels (all factors == 2) are supported — BCH/mixed
+kernels run on the XLA path (ops/scl.py). Outputs feed the same
+genealogy-backtrack + CRC-selection epilogue as the XLA path, shared via
+`scl_epilogue`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from polar_tpu.models.polar import CodeSpec
+from polar_tpu.ops.program import build_program
+
+BIG = np.float32(1e30)
+
+
+def _traj_ops(program):
+    """(t0, n) spans of ops that decide bits (leaf order)."""
+    kinds = {"R0", "REP", "R1", "SPC", "LEAF"}
+    return [(op.t0, op.level, op.kind) for op in program.ops
+            if op.kind in kinds]
+
+
+def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
+                            batch_tile: int = 128, interpret: bool = False):
+    """Returns core(llrs [B, N] f32) -> (traj_bit [N, P, B] i8,
+    traj_perm [Q, P, B] i32, pm [P, B] f32, spans) — the decode front end;
+    feed to `scl_epilogue`. B must be a multiple of batch_tile."""
+    if any(f != 2 for f in spec.factors):
+        raise ValueError("pallas SCL kernel supports pure-Arikan factors")
+    P = int(list_size)
+    m = len(spec.factors)
+    N = spec.N
+    n_sizes = spec.block_sizes
+    program = build_program(spec, scl=(P > 1), classify=True,
+                            fast_r1_scl=True)
+    digits_np = np.asarray(build_digits(spec))
+    frozen_np = spec.frozen.astype(np.bool_)
+    spans = [(t0, n_sizes[lvl]) for (t0, lvl, _) in _traj_ops(program)]
+    Q = len(spans)
+    BT = int(batch_tile)
+
+    def kernel(llr_ref, bit_ref, perm_ref, pm_ref, *scratch):
+        lam = list(scratch[:m])                 # lam[s]: [P, n_{s+1}, BT] f32
+        dec = list(scratch[m:2 * m])            # dec[s]: [2, P, n_{s+1}, BT] i8
+        rlam_ref = scratch[2 * m]               # [m, P, BT] i32
+        rdec_ref = scratch[2 * m + 1]           # [m, 2, P, BT] i32
+
+        iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, BT), 0)
+        iota2p = jax.lax.broadcasted_iota(jnp.int32, (2 * P, BT), 0)
+
+        # ---- trace-time mutable decode context ------------------------
+        ctx = {
+            "pm": jnp.zeros((P, BT), jnp.float32).at[1:].set(BIG)
+            if P > 1 else jnp.zeros((P, BT), jnp.float32),
+            "epoch": 0,
+            "lam_ep": [-1] * m,
+            "dec_ep": [[-1, -1] for _ in range(m)],
+            "q": 0,
+        }
+
+        def pgather(x, idx):
+            """x [P, ...], idx [P, BT] -> y[p] = x[idx[p]] per lane."""
+            extra = x.ndim - 2
+            idxe = idx.reshape((P,) + (1,) * extra + (BT,))
+            acc = None
+            for p in range(P):
+                mask = idxe == p
+                xp = x[p][None]
+                acc = jnp.where(mask, xp, acc if acc is not None
+                                else jnp.zeros((), x.dtype))
+            return acc
+
+        def apply_perm(perm):
+            rlam_ref[:] = pgather(
+                jnp.moveaxis(rlam_ref[:], 1, 0), perm[:, None, :]
+            ).swapaxes(0, 1)
+            rdec_ref[:] = pgather(
+                jnp.moveaxis(rdec_ref[:], 2, 0), perm[:, None, None, :]
+            ).swapaxes(0, 1).swapaxes(1, 2)
+            ctx["epoch"] += 1
+
+        def fork2(pm, pen0, pen1):
+            """Exact lax.top_k(-cand, P) equivalent via rank select.
+            Returns (pm' [P,BT], perm [P,BT] i32, bit [P,BT] i8)."""
+            cand = jnp.concatenate([pm + pen0, pm + pen1], axis=0)
+            rank = jnp.zeros((2 * P, BT), jnp.int32)
+            for d in range(1, 2 * P):
+                other = pltpu.roll(cand, 2 * P - d, 0)  # other[c]=cand[c+d]
+                oidx = (iota2p + d) % (2 * P)
+                less = (other < cand) | ((other == cand) & (oidx < iota2p))
+                rank = rank + less.astype(jnp.int32)
+            pm_rows, perm_rows, bit_rows = [], [], []
+            candp = iota2p % P
+            candb = iota2p // P
+            for p in range(P):
+                sel = rank == p
+                pm_rows.append(jnp.sum(jnp.where(sel, cand, 0.0), axis=0))
+                perm_rows.append(jnp.sum(jnp.where(sel, candp, 0), axis=0))
+                bit_rows.append(jnp.sum(jnp.where(sel, candb, 0), axis=0))
+            return (jnp.stack(pm_rows), jnp.stack(perm_rows),
+                    jnp.stack(bit_rows).astype(jnp.int8))
+
+        def extract_mins(absl, count):
+            """count smallest (val, pos) along axis 1 of [P, n, BT],
+            ascending, ties to lowest index (no argmin primitive)."""
+            n = absl.shape[1]
+            iota_col = jax.lax.broadcasted_iota(jnp.int32, (P, n, BT), 1)
+            vals, poss = [], []
+            work = absl
+            for _ in range(count):
+                v = jnp.min(work, axis=1)
+                at = jnp.where(work == v[:, None, :], iota_col, n)
+                pos = jnp.min(at, axis=1)
+                vals.append(v)
+                poss.append(pos)
+                work = jnp.where(iota_col == pos[:, None, :], BIG, work)
+            return vals, poss
+
+        def dec_child(s, j):
+            """Child j decisions [P, n_s, BT] of stage s (1-based)."""
+            if ctx["dec_ep"][s - 1][j] == ctx["epoch"]:
+                return dec[s - 1][j]
+            return pgather(dec[s - 1][j], rdec_ref[s - 1, j])
+
+        def write_dec(d, t0, block):
+            idx = int(digits_np[t0, d - 1])
+            dec[d - 1][idx] = block
+            rdec_ref[d - 1, idx] = iota_p
+            ctx["dec_ep"][d - 1][idx] = ctx["epoch"]
+
+        def write_traj(t0, n, perm, bits_pnb):
+            """bits [P, n, BT] in post-op path indexing."""
+            q = ctx["q"]
+            perm_ref[q * P:(q + 1) * P] = perm
+            bits = jnp.swapaxes(bits_pnb, 0, 1).reshape(n * P, BT)
+            bit_ref[t0 * P:(t0 + n) * P] = bits.astype(jnp.int8)
+            ctx["q"] = q + 1
+
+        # ---- ops -------------------------------------------------------
+        def down(s, t0, fresh):
+            n = n_sizes[s]
+            if s == 1:
+                a = llr_ref[0:n, :][None]              # [1, n, BT]
+                b = llr_ref[n:2 * n, :][None]
+            else:
+                if ctx["lam_ep"][s - 2] == ctx["epoch"]:
+                    prev = lam[s - 2][:]
+                else:
+                    prev = pgather(lam[s - 2][:], rlam_ref[s - 2])
+                a, b = prev[:, 0:n, :], prev[:, n:2 * n, :]
+            if fresh:
+                # exact f_minsum convention: sign(0) == +1 (arikan.py)
+                sgn = jnp.where((a < 0) ^ (b < 0), -1.0, 1.0)
+                out = sgn * jnp.minimum(jnp.abs(a), jnp.abs(b))
+            else:
+                u0 = dec_child(s, 0).astype(jnp.float32)
+                out = b + (1.0 - 2.0 * u0) * a
+            lam[s - 1][:] = jnp.broadcast_to(out, (P, n, BT))
+            rlam_ref[s - 1] = iota_p
+            ctx["lam_ep"][s - 1] = ctx["epoch"]
+
+        def up(s, t0):
+            u0 = dec_child(s, 0)
+            u1 = dec_child(s, 1)
+            x = jnp.concatenate([u0 ^ u1, u1], axis=1)   # [P, 2 n_s, BT]
+            write_dec(s - 1, t0, x)
+
+        def apply_inverse(d, x):
+            """u = x @ F^{-kron}: butterfly XORs, [P, n, BT] i8 (kept <= 5-D
+            for Mosaic; same axis order as ops/scl.py `_apply_inverse`)."""
+            n = x.shape[1]
+            h = n // 2
+            while h >= 1:
+                t = x.reshape(P, n // (2 * h), 2, h, BT)
+                x0 = t[:, :, 0:1]
+                x1 = t[:, :, 1:2]
+                x = jnp.concatenate([x0 ^ x1, x1], axis=2).reshape(P, n, BT)
+                h //= 2
+            return x
+
+        def node_r0(d, t0):
+            lm = lam[d - 1][:]
+            n = n_sizes[d]
+            ctx["pm"] = ctx["pm"] + jnp.sum(jnp.maximum(-lm, 0.0), axis=1)
+            zeros = jnp.zeros((P, n, BT), jnp.int8)
+            write_traj(t0, n, iota_p, zeros)
+            write_dec(d, t0, zeros)
+
+        def node_rep(d, t0):
+            lm = lam[d - 1][:]
+            n = n_sizes[d]
+            s0 = jnp.sum(jnp.maximum(-lm, 0.0), axis=1)
+            s1 = jnp.sum(jnp.maximum(lm, 0.0), axis=1)
+            if P == 1:
+                bit = (s1 < s0).astype(jnp.int8)
+                ctx["pm"] = ctx["pm"] + jnp.where(bit == 1, s1, s0)
+                perm = iota_p
+            else:
+                pm, perm, bit = fork2(ctx["pm"], s0, s1)
+                apply_perm(perm)
+                ctx["pm"] = pm
+            ubits = jnp.zeros((P, n, BT), jnp.int8).at[:, n - 1, :].set(bit)
+            write_traj(t0, n, perm, ubits)
+            write_dec(d, t0, jnp.broadcast_to(bit[:, None, :], (P, n, BT)
+                                              ).astype(jnp.int8))
+
+        def node_r1(d, t0):
+            lm = lam[d - 1][:]
+            n = n_sizes[d]
+            hd = (lm < 0).astype(jnp.int8)
+            if P == 1:
+                write_traj(t0, n, iota_p, apply_inverse(d, hd))
+                write_dec(d, t0, hd)
+                return
+            q = min(P - 1, n)
+            vals, poss = extract_mins(jnp.abs(lm), q)
+            node_map = iota_p
+            flips = jnp.zeros((P, q, BT), jnp.int8)
+            pm = ctx["pm"]
+            for r in range(q):
+                v = pgather(vals[r], node_map)
+                pm, perm, flip = fork2(pm, jnp.zeros_like(v), v)
+                node_map = pgather(node_map, perm)
+                flips = pgather(flips, perm[:, None, :])
+                flips = flips.at[:, r, :].set(flip)
+            xhat = pgather(hd, node_map[:, None, :])
+            iota_col = jax.lax.broadcasted_iota(jnp.int32, (P, n, BT), 1)
+            for r in range(q):
+                pos_g = pgather(poss[r], node_map)
+                onehot = iota_col == pos_g[:, None, :]
+                xhat = xhat ^ (onehot & (flips[:, r, :][:, None, :] == 1)
+                               ).astype(jnp.int8)
+            apply_perm(node_map)
+            ctx["pm"] = pm
+            write_traj(t0, n, node_map, apply_inverse(d, xhat))
+            write_dec(d, t0, xhat)
+
+        def node_spc(d, t0):
+            lm = lam[d - 1][:]
+            n = n_sizes[d]
+            hd = (lm < 0).astype(jnp.int8)
+            par = (jnp.sum(hd.astype(jnp.int32), axis=1) % 2).astype(jnp.int8)
+            absl = jnp.abs(lm)
+            iota_col = jax.lax.broadcasted_iota(jnp.int32, (P, n, BT), 1)
+            if P == 1:
+                vals, poss = extract_mins(absl, 1)
+                onehot = iota_col == poss[0][:, None, :]
+                xhat = hd ^ (onehot & (par[:, None, :] == 1)).astype(jnp.int8)
+                ctx["pm"] = ctx["pm"] + vals[0] * par.astype(jnp.float32)
+                write_traj(t0, n, iota_p, apply_inverse(d, xhat))
+                write_dec(d, t0, xhat)
+                return
+            q = min(P, n - 1)
+            vals, poss = extract_mins(absl, q + 1)
+            v0 = vals[0]
+            pm = ctx["pm"] + par.astype(jnp.float32) * v0
+            eta = par
+            node_map = iota_p
+            flips = jnp.zeros((P, q, BT), jnp.int8)
+            for r in range(1, q + 1):
+                v_r = pgather(vals[r], node_map)
+                v0_g = pgather(v0, node_map)
+                pen = v_r + (1.0 - 2.0 * eta.astype(jnp.float32)) * v0_g
+                pm, perm, flip = fork2(pm, jnp.zeros_like(pen), pen)
+                node_map = pgather(node_map, perm)
+                eta = pgather(eta, perm) ^ flip
+                flips = pgather(flips, perm[:, None, :])
+                flips = flips.at[:, r - 1, :].set(flip)
+            xhat = pgather(hd, node_map[:, None, :])
+            pos0 = pgather(poss[0], node_map)
+            onehot0 = iota_col == pos0[:, None, :]
+            xhat = xhat ^ (onehot0 & (eta[:, None, :] == 1)).astype(jnp.int8)
+            for r in range(1, q + 1):
+                pos_g = pgather(poss[r], node_map)
+                onehot = iota_col == pos_g[:, None, :]
+                xhat = xhat ^ (onehot & (flips[:, r - 1, :][:, None, :] == 1)
+                               ).astype(jnp.int8)
+            apply_perm(node_map)
+            ctx["pm"] = pm
+            write_traj(t0, n, node_map, apply_inverse(d, xhat))
+            write_dec(d, t0, xhat)
+
+        def node_leaf(t):
+            lam_leaf = lam[m - 1][:][:, 0, :]
+            pen0 = jnp.maximum(-lam_leaf, 0.0)
+            pen1 = jnp.maximum(lam_leaf, 0.0)
+            if bool(frozen_np[t]):
+                bit = jnp.zeros((P, BT), jnp.int8)
+                ctx["pm"] = ctx["pm"] + pen0
+                write_traj(t, 1, iota_p, bit[:, None, :])
+                write_dec(m, t, bit[:, None, :])
+                return
+            if P == 1:
+                bit = (lam_leaf < 0).astype(jnp.int8)
+                ctx["pm"] = ctx["pm"] + jnp.where(bit == 1, pen1, pen0)
+                perm = iota_p
+            else:
+                pm, perm, bit = fork2(ctx["pm"], pen0, pen1)
+                apply_perm(perm)
+                ctx["pm"] = pm
+            write_traj(t, 1, perm, bit[:, None, :])
+            write_dec(m, t, bit[:, None, :])
+
+        # ---- run the static program ------------------------------------
+        for op in program.ops:
+            k, lvl, t0 = op.kind, op.level, op.t0
+            if k == "DOWN_FRESH":
+                down(lvl, t0, True)
+            elif k == "DOWN_DYN":
+                down(lvl, t0, False)
+            elif k == "UP":
+                up(lvl, t0)
+            elif k == "R0":
+                node_r0(lvl, t0)
+            elif k == "REP":
+                node_rep(lvl, t0)
+            elif k == "R1":
+                node_r1(lvl, t0)
+            elif k == "SPC":
+                node_spc(lvl, t0)
+            elif k == "LEAF":
+                node_leaf(t0)
+            else:
+                raise ValueError(k)
+        pm_ref[:] = ctx["pm"]
+        assert ctx["q"] == Q
+
+    scratch_shapes = (
+        [pltpu.VMEM((P, n_sizes[s], BT), jnp.float32) for s in range(1, m + 1)]
+        + [pltpu.VMEM((2, P, n_sizes[s], BT), jnp.int8)
+           for s in range(1, m + 1)]
+        + [pltpu.VMEM((m, P, BT), jnp.int32),
+           pltpu.VMEM((m, 2, P, BT), jnp.int32)]
+    )
+
+    def core(llrs: jnp.ndarray):
+        B = llrs.shape[0]
+        if B % BT:
+            raise ValueError(f"batch {B} not a multiple of tile {BT}")
+        nt = B // BT
+        llrT = llrs.T.astype(jnp.float32)           # [N, B]
+        bit, perm, pm = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[pl.BlockSpec((N, BT), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(
+                pl.BlockSpec((N * P, BT), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Q * P, BT), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, BT), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((N * P, B), jnp.int8),
+                jax.ShapeDtypeStruct((Q * P, B), jnp.int32),
+                jax.ShapeDtypeStruct((P, B), jnp.float32),
+            ),
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(llrT)
+        traj_bit = bit.reshape(N, P, B)
+        traj_perm = perm.reshape(Q, P, B)
+        return traj_bit, traj_perm, pm
+
+    return core, spans
+
+
+def build_digits(spec: CodeSpec):
+    from polar_tpu.ops.schedule import build_schedule
+    return build_schedule(spec).digits
+
+
+def build_pallas_scl_decoder(spec: CodeSpec, list_size: int,
+                             batch_tile: int = 128,
+                             interpret: bool = False):
+    """decode(llrs [B, N] f32) -> DecodeResult, bit-identical to
+    ops/scl.build_scl_decoder(spec, list_size) — Pallas front end + shared
+    XLA epilogue. Jit the result."""
+    from polar_tpu.ops.scl import scl_epilogue
+
+    core, spans = build_pallas_scl_kernel(spec, list_size,
+                                          batch_tile=batch_tile,
+                                          interpret=interpret)
+
+    def decode(llrs: jnp.ndarray):
+        traj_bit, traj_perm, pm = core(llrs)
+        entries = [(t0, n, traj_perm[q]) for q, (t0, n) in enumerate(spans)]
+        return scl_epilogue(spec, list_size, entries, traj_bit, pm)
+
+    return decode

@@ -60,6 +60,97 @@ class DecodeResult(NamedTuple):
     pm: jnp.ndarray       # [B] best path metric
 
 
+def pgather(x, idx, axis, n_paths):
+    """take_along_axis(x, idx, axis) over the path axis as a one-hot
+    select-sum. XLA lowers a generic per-lane gather to a *serialized*
+    scalar loop on TPU (~1 element/cycle — measured ~9 ms per op at
+    [8, 512, 2048]); P static selects stay on the VPU. idx broadcasts
+    against x like jnp.take_along_axis."""
+    acc = None
+    for p in range(n_paths):
+        xp = jax.lax.index_in_dim(x, p, axis, keepdims=True)
+        mask = idx == p
+        acc = jnp.where(mask, xp, acc if acc is not None
+                        else jnp.zeros((), x.dtype))
+    return acc
+
+
+def scl_epilogue(spec: CodeSpec, P: int, entries, traj_bit, pm,
+                 genie: bool = False) -> DecodeResult:
+    """Genealogy backtrack + CRC path selection, shared by the unrolled
+    XLA decoder and the Pallas mega-kernel (ops/pallas_scl.py).
+
+    entries: per traj-op (t0, n, perm [P, B] i32) in leaf order with
+    disjoint spans covering [0, N); perm is the op's survival permutation;
+    traj_bit [N, P, B] holds each op's decided bits in post-op path
+    indexing; pm [P, B] final path metrics.
+    """
+    frozen_np = spec.frozen.astype(np.bool_)
+    bsz = pm.shape[-1]
+    iota = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None],
+                            (P, bsz))
+    if P == 1:
+        pieces = [traj_bit[t0:t0 + n] for (t0, n, _) in entries]
+        u_all = traj_bit
+    else:
+        # S_q = perm_{q+1} o ... o perm_{Q-1} (exclusive suffix
+        # composition): u bits of op q, stored in op-q path indexing, map
+        # to final path indexing through S_q.
+        perms = jnp.stack([p for _, _, p in entries])      # [Q, P, B]
+
+        def comp(a, b):                # b o a per lane
+            return pgather(b, a, -2, P)
+
+        inc = jax.lax.associative_scan(comp, perms, reverse=True)
+        pieces = []
+        for q, (t0, n, _) in enumerate(entries):
+            s_q = inc[q + 1] if q + 1 < len(entries) else iota
+            pieces.append(pgather(traj_bit[t0:t0 + n], s_q[None], 1, P))
+        u_all = jnp.concatenate(pieces, axis=0)            # [N, P, B]
+    # payload rows assembled per op from static slices (a K-row static
+    # gather over u_all also serializes on TPU)
+    ppieces = []
+    for (t0, n, _), g in zip(entries, pieces):
+        fr = frozen_np[t0:t0 + n]
+        if genie or not fr.any():
+            ppieces.append(g)
+        elif not fr.all():
+            rows = np.nonzero(fr == 0)[0]
+            ppieces.append(jnp.concatenate(
+                [g[int(j)][None] for j in rows], axis=0))
+    if genie:
+        payload_all = jnp.concatenate(ppieces, axis=0)[
+            jnp.asarray(spec.info_positions)]
+    else:
+        payload_all = jnp.concatenate(ppieces, axis=0)
+    return finalize(spec, P, u_all, payload_all, pm)
+
+
+def finalize(spec: CodeSpec, P: int, u_all, payload_all, pm) -> DecodeResult:
+    """CRC check per path, best-path selection, [B]-major outputs."""
+    bsz = pm.shape[-1]
+    if spec.crc is not None:
+        k = spec.K
+        g = jnp.asarray(spec.crc.generator_matrix(k).astype(np.float32))
+        off = jnp.asarray(spec.crc.offset_bits(k).astype(np.float32))
+        bits = (jnp.einsum("kPB,kw->wPB",
+                           payload_all[:k].astype(jnp.float32), g)
+                + off[:, None, None]) % 2.0
+        ok = jnp.all(bits.astype(jnp.int8) == payload_all[k:], axis=0)
+        score = pm + BIG * (1.0 - ok.astype(jnp.float32))
+    else:
+        ok = jnp.ones((P, bsz), bool)
+        score = pm
+    best = jnp.argmin(score, axis=0)
+    sel = best[None, None, :]
+    u_best = pgather(u_all, sel, 1, P)[:, 0, :]
+    payload = pgather(payload_all, sel, 1, P)[:, 0, :]
+    crc_ok = pgather(ok, best[None, :], 0, P)[0]
+    pm_best = pgather(pm, best[None, :], 0, P)[0]
+    return DecodeResult(u=u_best.T, payload=payload.T,
+                        crc_ok=crc_ok, pm=pm_best)
+
+
 def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
                       fast: bool = True, fast_r1_scl: bool = True,
                       llr_dtype=jnp.float32, unroll: bool = True):
@@ -103,18 +194,7 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         return jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None], (P, b))
 
     def _pgather(x, idx, axis):
-        """take_along_axis(x, idx, axis) over the path axis as a one-hot
-        select-sum. XLA lowers a generic per-lane gather to a *serialized*
-        scalar loop on TPU (~1 element/cycle — measured ~9 ms per op at
-        [8, 512, 2048]); P static selects stay on the VPU. idx broadcasts
-        against x like jnp.take_along_axis."""
-        acc = None
-        for p in range(P):
-            xp = jax.lax.index_in_dim(x, p, axis, keepdims=True)
-            mask = idx == p
-            acc = jnp.where(mask, xp, acc if acc is not None
-                            else jnp.zeros((), x.dtype))
-        return acc
+        return pgather(x, idx, axis, P)
 
     def _tset(tup, idx, val):
         return tup[:idx] + (val,) + tup[idx + 1:]
@@ -122,12 +202,19 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
     # ---------------- shared helpers ----------------
 
     def _apply_perm(state, perm):
-        """Permute all path->slot maps by survival permutation [P, B]."""
+        """Permute all path->slot maps by survival permutation [P, B].
+
+        unroll mode also bumps the trace-time fork epoch: a buffer whose
+        write epoch equals the current epoch is provably identity-mapped
+        (maps reset to iota on write and only forks disturb them), so
+        reads of it skip the one-hot gather entirely."""
         state = dict(state)
         state["rlam"] = tuple(
             _pgather(r, perm, 0) for r in state["rlam"])
         state["rdec"] = tuple(
             _pgather(r, perm[None], 1) for r in state["rdec"])
+        if unroll:
+            state["epoch"] = state["epoch"] + 1
         return state
 
     def _write_dec(state, d, t0, block):
@@ -143,7 +230,18 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
                              state["dec"][d - 1].at[idx].set(block))
         state["rdec"] = _tset(state["rdec"], d - 1,
                               state["rdec"][d - 1].at[idx].set(_iota_pb(b)))
+        if unroll:
+            eps = list(state["dec_ep"][d - 1])
+            eps[idx] = state["epoch"]
+            state["dec_ep"] = _tset(state["dec_ep"], d - 1, tuple(eps))
         return state
+
+    def _dec_child(state, s, j):
+        """Child j's decisions [P, n_s, B] at stage s, path-correct."""
+        if unroll and state["dec_ep"][s - 1][j] == state["epoch"]:
+            return state["dec"][s - 1][j]          # identity-mapped
+        return _pgather(state["dec"][s - 1][j],
+                        state["rdec"][s - 1][j][:, None, :], 0)
 
     def _write_traj(state, t0, n, perm_first, bits_pnb):
         """Genealogy for a node covering leaves [t0, t0+n): composed perm at
@@ -219,8 +317,11 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         if s == 1:
             b = lam0.shape[-1]
             return lam0.reshape(1, l, n, b)
-        lam_prev = _pgather(
-            state["lam"][s - 2], state["rlam"][s - 2][:, None, :], 0)
+        if unroll and state["lam_ep"][s - 2] == state["epoch"]:
+            lam_prev = state["lam"][s - 2]         # identity-mapped
+        else:
+            lam_prev = _pgather(
+                state["lam"][s - 2], state["rlam"][s - 2][:, None, :], 0)
         return lam_prev.reshape(P, l, n, lam_prev.shape[-1])
 
     def _dec_gather(state, s):
@@ -233,8 +334,13 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         if fresh:
             llr = proc.fresh_llr(view)
         elif isinstance(t0, (int, np.integer)):
-            llr = proc.static_llr(int(digits_np[t0, s - 1]), view,
-                                  _dec_gather(state, s))
+            i = int(digits_np[t0, s - 1])
+            # only children < i feed the coset; skip their gathers when the
+            # write epoch proves the maps are identity, zero-fill the rest
+            rows = [_dec_child(state, s, j) for j in range(i)]
+            zero = jnp.zeros_like(rows[0]) if rows else None
+            dec_g = jnp.stack(rows + [zero] * (factors[s - 1] - i))
+            llr = proc.static_llr(i, view, dec_g)
         else:
             i = jnp.asarray(digits_np)[t0, s - 1]
             llr = proc.dynamic_llr(i, view, _dec_gather(state, s))
@@ -245,10 +351,17 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         state = dict(state)
         state["lam"] = _tset(state["lam"], s - 1, llr)
         state["rlam"] = _tset(state["rlam"], s - 1, _iota_pb(b))
+        if unroll:
+            state["lam_ep"] = _tset(state["lam_ep"], s - 1, state["epoch"])
         return state
 
     def _up(state, s, t0):
-        x = procs[s - 1].reencode(_dec_gather(state, s))   # [P, l, n_s, B]
+        if unroll:
+            dec_g = jnp.stack([_dec_child(state, s, j)
+                               for j in range(factors[s - 1])])
+        else:
+            dec_g = _dec_gather(state, s)
+        x = procs[s - 1].reencode(dec_g)                   # [P, l, n_s, B]
         x = x.reshape(P, n_sizes[s - 1], x.shape[-1])
         return _write_dec(state, s - 1, t0, x)
 
@@ -487,6 +600,11 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         }
         if unroll:
             state["traj_perms"] = ()
+            # trace-time fork-epoch bookkeeping (see _apply_perm)
+            state["epoch"] = 0
+            state["lam_ep"] = tuple(-1 for _ in range(m))
+            state["dec_ep"] = tuple(tuple(-1 for _ in range(factors[s]))
+                                    for s in range(m))
         else:
             state["traj_parent"] = jnp.zeros((N, P, bsz), jnp.int8)
 
@@ -503,76 +621,21 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
             state = jax.lax.fori_loop(0, n_ops, body, state)
 
         if unroll:
-            entries = state["traj_perms"]     # leaf order, disjoint spans
-            if P == 1:
-                pieces = [state["traj_bit"][t0:t0 + n]
-                          for (t0, n, _) in entries]
-                u_all = state["traj_bit"]
-            else:
-                # S_q = perm_{q+1} o ... o perm_{Q-1} (exclusive suffix
-                # composition): u bits of op q, stored in op-q path
-                # indexing, map to final path indexing through S_q.
-                perms = jnp.stack([p for _, _, p in entries])  # [Q, P, B]
+            return scl_epilogue(spec, P, state["traj_perms"],
+                                state["traj_bit"], state["pm"], genie=genie)
+        def bt(p_state, xs):
+            par_t, bit_t = xs
+            bit = jnp.take_along_axis(bit_t, p_state, axis=0)
+            p_next = jnp.take_along_axis(par_t.astype(jnp.int32),
+                                         p_state, axis=0)
+            return p_next, bit
 
-                def comp(a, b):                # b o a per lane
-                    return _pgather(b, a, -2)
-
-                inc = jax.lax.associative_scan(comp, perms, reverse=True)
-                pieces = []
-                for q, (t0, n, _) in enumerate(entries):
-                    s_q = inc[q + 1] if q + 1 < len(entries) else iota
-                    blk = state["traj_bit"][t0:t0 + n]
-                    pieces.append(_pgather(blk, s_q[None], 1))
-                u_all = jnp.concatenate(pieces, axis=0)    # [N, P, B]
-            # payload rows assembled per op from static slices (a 528-row
-            # static gather over u_all also serializes on TPU)
-            ppieces = []
-            for (t0, n, _), g in zip(entries, pieces):
-                fr = frozen_np[t0:t0 + n]
-                if genie or not fr.any():
-                    ppieces.append(g)
-                elif not fr.all():
-                    rows = np.nonzero(fr == 0)[0]
-                    ppieces.append(jnp.concatenate(
-                        [g[int(j)][None] for j in rows], axis=0))
-            if genie:
-                payload_all = jnp.concatenate(ppieces, axis=0)[
-                    jnp.asarray(info_pos_np)]
-            else:
-                payload_all = jnp.concatenate(ppieces, axis=0)
-        else:
-            def bt(p_state, xs):
-                par_t, bit_t = xs
-                bit = jnp.take_along_axis(bit_t, p_state, axis=0)
-                p_next = jnp.take_along_axis(par_t.astype(jnp.int32),
-                                             p_state, axis=0)
-                return p_next, bit
-
-            _, bits_rev = jax.lax.scan(
-                bt, iota,
-                (state["traj_parent"][::-1], state["traj_bit"][::-1]))
-            u_all = bits_rev[::-1]                         # [N, P, B]
-            payload_all = u_all[jnp.asarray(info_pos_np)]
-        if spec.crc is not None:
-            k = spec.K
-            g = jnp.asarray(spec.crc.generator_matrix(k).astype(np.float32))
-            off = jnp.asarray(spec.crc.offset_bits(k).astype(np.float32))
-            bits = (jnp.einsum("kPB,kw->wPB",
-                               payload_all[:k].astype(jnp.float32), g)
-                    + off[:, None, None]) % 2.0
-            ok = jnp.all(bits.astype(jnp.int8) == payload_all[k:], axis=0)
-            score = state["pm"] + BIG * (1.0 - ok.astype(jnp.float32))
-        else:
-            ok = jnp.ones((P, bsz), bool)
-            score = state["pm"]
-        best = jnp.argmin(score, axis=0)
-        sel = best[None, None, :]
-        u_best = _pgather(u_all, sel, 1)[:, 0, :]
-        payload = _pgather(payload_all, sel, 1)[:, 0, :]
-        crc_ok = _pgather(ok, best[None, :], 0)[0]
-        pm_best = _pgather(state["pm"], best[None, :], 0)[0]
-        return DecodeResult(u=u_best.T, payload=payload.T,
-                            crc_ok=crc_ok, pm=pm_best)
+        _, bits_rev = jax.lax.scan(
+            bt, iota,
+            (state["traj_parent"][::-1], state["traj_bit"][::-1]))
+        u_all = bits_rev[::-1]                             # [N, P, B]
+        payload_all = u_all[jnp.asarray(info_pos_np)]
+        return finalize(spec, P, u_all, payload_all, state["pm"])
 
     return decode
 
