@@ -28,7 +28,12 @@ def main():
     spec = preset.spec
     batch = int(os.environ.get("BENCH_BATCH", "8192"))
     reps = int(os.environ.get("BENCH_REPS", "8"))
-    decode = build_scl_decoder(spec, preset.list_size)
+    backend = os.environ.get("BENCH_DECODER", "pallas")
+    if backend == "pallas":
+        from polar_tpu.ops.pallas_scl import build_pallas_scl_decoder
+        decode = build_pallas_scl_decoder(spec, preset.list_size)
+    else:
+        decode = build_scl_decoder(spec, preset.list_size)
 
     sigma = float(ebn0_to_sigma(2.0, spec.rate))
     key = jax.random.key(0)

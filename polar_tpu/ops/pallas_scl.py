@@ -84,7 +84,9 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
 
         # ---- trace-time mutable decode context ------------------------
         ctx = {
-            "pm": jnp.zeros((P, BT), jnp.float32).at[1:].set(BIG)
+            # .at[].set lowers to an (unsupported) scatter in Mosaic —
+            # express all masked writes as where() on an iota instead
+            "pm": jnp.where(iota_p == 0, 0.0, BIG)
             if P > 1 else jnp.zeros((P, BT), jnp.float32),
             "epoch": 0,
             "lam_ep": [-1] * m,
@@ -125,14 +127,17 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 rank = rank + less.astype(jnp.int32)
             pm_rows, perm_rows, bit_rows = [], [], []
             candp = iota2p % P
-            candb = iota2p // P
+            candb = jnp.where(iota2p >= P, 1.0, 0.0)     # bits stay f32:
+            # i1 masks cannot be relayouted between the f32 (8,128) and i8
+            # (32,128) tilings in Mosaic, so ALL bit math in this kernel is
+            # 0.0/1.0 f32 (XOR = |a-b|); int8 only at the ref boundary.
             for p in range(P):
                 sel = rank == p
                 pm_rows.append(jnp.sum(jnp.where(sel, cand, 0.0), axis=0))
                 perm_rows.append(jnp.sum(jnp.where(sel, candp, 0), axis=0))
-                bit_rows.append(jnp.sum(jnp.where(sel, candb, 0), axis=0))
+                bit_rows.append(jnp.sum(jnp.where(sel, candb, 0.0), axis=0))
             return (jnp.stack(pm_rows), jnp.stack(perm_rows),
-                    jnp.stack(bit_rows).astype(jnp.int8))
+                    jnp.stack(bit_rows))
 
         def extract_mins(absl, count):
             """count smallest (val, pos) along axis 1 of [P, n, BT],
@@ -151,14 +156,15 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             return vals, poss
 
         def dec_child(s, j):
-            """Child j decisions [P, n_s, BT] of stage s (1-based)."""
+            """Child j decisions [P, n_s, BT] f32 of stage s (1-based)."""
             if ctx["dec_ep"][s - 1][j] == ctx["epoch"]:
-                return dec[s - 1][j]
-            return pgather(dec[s - 1][j], rdec_ref[s - 1, j])
+                return dec[s - 1][j].astype(jnp.float32)
+            return pgather(dec[s - 1][j].astype(jnp.float32),
+                           rdec_ref[s - 1, j])
 
         def write_dec(d, t0, block):
             idx = int(digits_np[t0, d - 1])
-            dec[d - 1][idx] = block
+            dec[d - 1][idx] = block.astype(jnp.int8)
             rdec_ref[d - 1, idx] = iota_p
             ctx["dec_ep"][d - 1][idx] = ctx["epoch"]
 
@@ -187,7 +193,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 sgn = jnp.where((a < 0) ^ (b < 0), -1.0, 1.0)
                 out = sgn * jnp.minimum(jnp.abs(a), jnp.abs(b))
             else:
-                u0 = dec_child(s, 0).astype(jnp.float32)
+                u0 = dec_child(s, 0)
                 out = b + (1.0 - 2.0 * u0) * a
             lam[s - 1][:] = jnp.broadcast_to(out, (P, n, BT))
             rlam_ref[s - 1] = iota_p
@@ -196,19 +202,20 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
         def up(s, t0):
             u0 = dec_child(s, 0)
             u1 = dec_child(s, 1)
-            x = jnp.concatenate([u0 ^ u1, u1], axis=1)   # [P, 2 n_s, BT]
+            x = jnp.concatenate([jnp.abs(u0 - u1), u1], axis=1)  # f32 XOR
             write_dec(s - 1, t0, x)
 
         def apply_inverse(d, x):
-            """u = x @ F^{-kron}: butterfly XORs, [P, n, BT] i8 (kept <= 5-D
-            for Mosaic; same axis order as ops/scl.py `_apply_inverse`)."""
+            """u = x @ F^{-kron}: butterfly XORs on 0/1 f32, [P, n, BT]
+            (kept <= 5-D for Mosaic; same axis order as ops/scl.py)."""
             n = x.shape[1]
             h = n // 2
             while h >= 1:
                 t = x.reshape(P, n // (2 * h), 2, h, BT)
                 x0 = t[:, :, 0:1]
                 x1 = t[:, :, 1:2]
-                x = jnp.concatenate([x0 ^ x1, x1], axis=2).reshape(P, n, BT)
+                x = jnp.concatenate([jnp.abs(x0 - x1), x1],
+                                    axis=2).reshape(P, n, BT)
                 h //= 2
             return x
 
@@ -216,7 +223,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             lm = lam[d - 1][:]
             n = n_sizes[d]
             ctx["pm"] = ctx["pm"] + jnp.sum(jnp.maximum(-lm, 0.0), axis=1)
-            zeros = jnp.zeros((P, n, BT), jnp.int8)
+            zeros = jnp.zeros((P, n, BT), jnp.float32)
             write_traj(t0, n, iota_p, zeros)
             write_dec(d, t0, zeros)
 
@@ -226,22 +233,22 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             s0 = jnp.sum(jnp.maximum(-lm, 0.0), axis=1)
             s1 = jnp.sum(jnp.maximum(lm, 0.0), axis=1)
             if P == 1:
-                bit = (s1 < s0).astype(jnp.int8)
-                ctx["pm"] = ctx["pm"] + jnp.where(bit == 1, s1, s0)
+                bit = jnp.where(s1 < s0, 1.0, 0.0)
+                ctx["pm"] = ctx["pm"] + jnp.minimum(s0, s1)
                 perm = iota_p
             else:
                 pm, perm, bit = fork2(ctx["pm"], s0, s1)
                 apply_perm(perm)
                 ctx["pm"] = pm
-            ubits = jnp.zeros((P, n, BT), jnp.int8).at[:, n - 1, :].set(bit)
+            iota_col = jax.lax.broadcasted_iota(jnp.int32, (P, n, BT), 1)
+            ubits = jnp.where(iota_col == n - 1, bit[:, None, :], 0.0)
             write_traj(t0, n, perm, ubits)
-            write_dec(d, t0, jnp.broadcast_to(bit[:, None, :], (P, n, BT)
-                                              ).astype(jnp.int8))
+            write_dec(d, t0, jnp.broadcast_to(bit[:, None, :], (P, n, BT)))
 
         def node_r1(d, t0):
             lm = lam[d - 1][:]
             n = n_sizes[d]
-            hd = (lm < 0).astype(jnp.int8)
+            hd = jnp.where(lm < 0, 1.0, 0.0)
             if P == 1:
                 write_traj(t0, n, iota_p, apply_inverse(d, hd))
                 write_dec(d, t0, hd)
@@ -249,21 +256,21 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             q = min(P - 1, n)
             vals, poss = extract_mins(jnp.abs(lm), q)
             node_map = iota_p
-            flips = jnp.zeros((P, q, BT), jnp.int8)
+            flips = jnp.zeros((P, q, BT), jnp.float32)
+            iota_q = jax.lax.broadcasted_iota(jnp.int32, (P, q, BT), 1)
             pm = ctx["pm"]
             for r in range(q):
                 v = pgather(vals[r], node_map)
                 pm, perm, flip = fork2(pm, jnp.zeros_like(v), v)
                 node_map = pgather(node_map, perm)
                 flips = pgather(flips, perm[:, None, :])
-                flips = flips.at[:, r, :].set(flip)
+                flips = jnp.where(iota_q == r, flip[:, None, :], flips)
             xhat = pgather(hd, node_map[:, None, :])
             iota_col = jax.lax.broadcasted_iota(jnp.int32, (P, n, BT), 1)
             for r in range(q):
                 pos_g = pgather(poss[r], node_map)
-                onehot = iota_col == pos_g[:, None, :]
-                xhat = xhat ^ (onehot & (flips[:, r, :][:, None, :] == 1)
-                               ).astype(jnp.int8)
+                onehot = jnp.where(iota_col == pos_g[:, None, :], 1.0, 0.0)
+                xhat = jnp.abs(xhat - onehot * flips[:, r, :][:, None, :])
             apply_perm(node_map)
             ctx["pm"] = pm
             write_traj(t0, n, node_map, apply_inverse(d, xhat))
@@ -272,43 +279,43 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
         def node_spc(d, t0):
             lm = lam[d - 1][:]
             n = n_sizes[d]
-            hd = (lm < 0).astype(jnp.int8)
-            par = (jnp.sum(hd.astype(jnp.int32), axis=1) % 2).astype(jnp.int8)
+            hd = jnp.where(lm < 0, 1.0, 0.0)
+            par = jnp.mod(jnp.sum(hd, axis=1), 2.0)      # exact: sum <= n
             absl = jnp.abs(lm)
             iota_col = jax.lax.broadcasted_iota(jnp.int32, (P, n, BT), 1)
             if P == 1:
                 vals, poss = extract_mins(absl, 1)
-                onehot = iota_col == poss[0][:, None, :]
-                xhat = hd ^ (onehot & (par[:, None, :] == 1)).astype(jnp.int8)
-                ctx["pm"] = ctx["pm"] + vals[0] * par.astype(jnp.float32)
+                onehot = jnp.where(iota_col == poss[0][:, None, :], 1.0, 0.0)
+                xhat = jnp.abs(hd - onehot * par[:, None, :])
+                ctx["pm"] = ctx["pm"] + vals[0] * par
                 write_traj(t0, n, iota_p, apply_inverse(d, xhat))
                 write_dec(d, t0, xhat)
                 return
             q = min(P, n - 1)
             vals, poss = extract_mins(absl, q + 1)
             v0 = vals[0]
-            pm = ctx["pm"] + par.astype(jnp.float32) * v0
+            pm = ctx["pm"] + par * v0
             eta = par
             node_map = iota_p
-            flips = jnp.zeros((P, q, BT), jnp.int8)
+            flips = jnp.zeros((P, q, BT), jnp.float32)
+            iota_q = jax.lax.broadcasted_iota(jnp.int32, (P, q, BT), 1)
             for r in range(1, q + 1):
                 v_r = pgather(vals[r], node_map)
                 v0_g = pgather(v0, node_map)
-                pen = v_r + (1.0 - 2.0 * eta.astype(jnp.float32)) * v0_g
+                pen = v_r + (1.0 - 2.0 * eta) * v0_g
                 pm, perm, flip = fork2(pm, jnp.zeros_like(pen), pen)
                 node_map = pgather(node_map, perm)
-                eta = pgather(eta, perm) ^ flip
+                eta = jnp.abs(pgather(eta, perm) - flip)
                 flips = pgather(flips, perm[:, None, :])
-                flips = flips.at[:, r - 1, :].set(flip)
+                flips = jnp.where(iota_q == r - 1, flip[:, None, :], flips)
             xhat = pgather(hd, node_map[:, None, :])
             pos0 = pgather(poss[0], node_map)
-            onehot0 = iota_col == pos0[:, None, :]
-            xhat = xhat ^ (onehot0 & (eta[:, None, :] == 1)).astype(jnp.int8)
+            onehot0 = jnp.where(iota_col == pos0[:, None, :], 1.0, 0.0)
+            xhat = jnp.abs(xhat - onehot0 * eta[:, None, :])
             for r in range(1, q + 1):
                 pos_g = pgather(poss[r], node_map)
-                onehot = iota_col == pos_g[:, None, :]
-                xhat = xhat ^ (onehot & (flips[:, r - 1, :][:, None, :] == 1)
-                               ).astype(jnp.int8)
+                onehot = jnp.where(iota_col == pos_g[:, None, :], 1.0, 0.0)
+                xhat = jnp.abs(xhat - onehot * flips[:, r - 1, :][:, None, :])
             apply_perm(node_map)
             ctx["pm"] = pm
             write_traj(t0, n, node_map, apply_inverse(d, xhat))
@@ -319,14 +326,14 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             pen0 = jnp.maximum(-lam_leaf, 0.0)
             pen1 = jnp.maximum(lam_leaf, 0.0)
             if bool(frozen_np[t]):
-                bit = jnp.zeros((P, BT), jnp.int8)
+                bit = jnp.zeros((P, BT), jnp.float32)
                 ctx["pm"] = ctx["pm"] + pen0
                 write_traj(t, 1, iota_p, bit[:, None, :])
                 write_dec(m, t, bit[:, None, :])
                 return
             if P == 1:
-                bit = (lam_leaf < 0).astype(jnp.int8)
-                ctx["pm"] = ctx["pm"] + jnp.where(bit == 1, pen1, pen0)
+                bit = jnp.where(lam_leaf < 0, 1.0, 0.0)
+                ctx["pm"] = ctx["pm"] + jnp.where(lam_leaf < 0, pen1, pen0)
                 perm = iota_p
             else:
                 pm, perm, bit = fork2(ctx["pm"], pen0, pen1)

@@ -33,13 +33,18 @@ from polar_tpu.parallel.mesh import make_batch_mesh, sharded_mc_step
 from polar_tpu.sim.channel import ebn0_to_sigma
 
 
-def make_mc_step(spec: CodeSpec, list_size: int):
-    """Per-shard Monte-Carlo step: key, (sigma,) -> counter dict."""
+def make_mc_step(spec: CodeSpec, list_size: int, steps_per_call: int = 1):
+    """Per-shard Monte-Carlo step: key, (sigma,) -> counter dict.
+
+    steps_per_call > 1 chains that many independent batches inside one
+    jitted call (`fori_loop`, key folded per sub-step) — one host dispatch
+    + one counter fetch per superbatch instead of per batch. The host
+    round-trip dominates at TPU decode rates (~100 ms through the remote
+    tunnel vs ~24 ms of decode at B=8192)."""
     decode = build_scl_decoder(spec, list_size)
     K = spec.K
 
-    def step(key, args, batch: int):
-        sigma = args["sigma"]
+    def one(key, sigma, batch: int):
         k_info, k_noise = jax.random.split(key)
         info = jax.random.bernoulli(k_info, 0.5, (batch, K)).astype(jnp.int8)
         payload = crc_append(spec.crc, info) if spec.crc is not None else info
@@ -51,10 +56,24 @@ def make_mc_step(spec: CodeSpec, list_size: int):
         got = out.payload[:, :K]
         bit_err = jnp.sum(got != info)
         frame_err = jnp.sum(jnp.any(got != info, axis=1))
+        return (frame_err.astype(jnp.int32), bit_err.astype(jnp.int32))
+
+    def step(key, args, batch: int):
+        sigma = args["sigma"]
+        if steps_per_call == 1:
+            fe, be = one(key, sigma, batch)
+        else:
+            def body(i, acc):
+                fe, be = one(jax.random.fold_in(key, i), sigma, batch)
+                return (acc[0] + fe, acc[1] + be)
+
+            fe, be = jax.lax.fori_loop(
+                0, steps_per_call, body,
+                (jnp.int32(0), jnp.int32(0)))
         return {
-            "frames": jnp.asarray(batch, jnp.int32),
-            "frame_errors": frame_err.astype(jnp.int32),
-            "bit_errors": bit_err.astype(jnp.int32),
+            "frames": jnp.asarray(batch * steps_per_call, jnp.int32),
+            "frame_errors": fe,
+            "bit_errors": be,
         }
 
     return step
@@ -102,7 +121,7 @@ def run_sweep(preset: Preset, frames: int | None = None,
               per_device_batch: int | None = None, seed: int = 0,
               mesh=None, state_path: str | None = None,
               jsonl_path: str | None = None, min_frame_errors: int = 0,
-              progress: bool = True) -> list[dict]:
+              progress: bool = True, steps_per_call: int = 1) -> list[dict]:
     """Run the Monte-Carlo FER sweep for a preset. Returns per-SNR records.
 
     min_frame_errors: optional early-stop once a SNR point has this many
@@ -114,7 +133,8 @@ def run_sweep(preset: Preset, frames: int | None = None,
     pdb = per_device_batch or max(1, preset.batch // n_dev)
     global_batch = pdb * n_dev
 
-    raw_step = make_mc_step(preset.spec, preset.list_size)
+    raw_step = make_mc_step(preset.spec, preset.list_size,
+                            steps_per_call=steps_per_call)
     if n_dev == 1:
         # single chip: no collective needed — and the axon remote-TPU
         # plugin hangs on shard_map/psum, so don't route through it

@@ -80,3 +80,22 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert int(out["frames"]) == 64
+
+
+def test_superbatch_counts_frames():
+    """steps_per_call chains k batches per dispatch; frame accounting and
+    error statistics stay consistent with the per-call path."""
+    import jax.numpy as jnp
+
+    preset = _tiny_preset()
+    raw1 = make_mc_step(preset.spec, preset.list_size, steps_per_call=1)
+    raw4 = make_mc_step(preset.spec, preset.list_size, steps_per_call=4)
+    key = jax.random.key(3)
+    out = jax.jit(lambda k, a: raw4(k, a, 128))(key, {"sigma": jnp.float32(0.9)})
+    assert int(out["frames"]) == 4 * 128
+    # statistically consistent FER vs the single-step path on 4x the frames
+    fe1 = sum(int(jax.jit(lambda k, a: raw1(k, a, 128))(
+        jax.random.fold_in(key, i), {"sigma": jnp.float32(0.9)})["frame_errors"])
+        for i in range(4))
+    fe4 = int(out["frame_errors"])
+    assert abs(fe4 - fe1) < 0.5 * max(fe1, fe4, 20)
