@@ -62,17 +62,26 @@ class DecodeResult(NamedTuple):
 
 def pgather(x, idx, axis, n_paths):
     """take_along_axis(x, idx, axis) over the path axis as a one-hot
-    select-sum. XLA lowers a generic per-lane gather to a *serialized*
+    select-reduce. XLA lowers a generic per-lane gather to a *serialized*
     scalar loop on TPU (~1 element/cycle — measured ~9 ms per op at
-    [8, 512, 2048]); P static selects stay on the VPU. idx broadcasts
-    against x like jnp.take_along_axis."""
-    acc = None
-    for p in range(n_paths):
-        xp = jax.lax.index_in_dim(x, p, axis, keepdims=True)
-        mask = idx == p
-        acc = jnp.where(mask, xp, acc if acc is not None
-                        else jnp.zeros((), x.dtype))
-    return acc
+    [8, 512, 2048]); the one-hot form stays on the VPU. Expressed as one
+    broadcast select + sum (not a Python loop over paths) so the traced
+    equation count is O(1) in n_paths — trace size limits compile time
+    for large-P unrolled programs. idx must have x's rank and broadcast
+    against it like jnp.take_along_axis."""
+    ax = axis % x.ndim
+    squeeze = x.dtype == jnp.bool_
+    if squeeze:
+        x = x.astype(jnp.int8)
+    xm = jnp.moveaxis(x, ax, 0)                    # [P_src, rest]
+    im = jnp.moveaxis(idx, ax, 0)                  # [P_out, rest']
+    iota = jnp.arange(n_paths, dtype=idx.dtype).reshape(
+        (n_paths,) + (1,) * im.ndim)
+    oh = im[None] == iota                          # [P_src, P_out, rest']
+    y = jnp.sum(jnp.where(oh, xm[:, None], jnp.zeros((), x.dtype)),
+                axis=0, dtype=x.dtype)             # [P_out, rest]
+    y = jnp.moveaxis(y, 0, ax)
+    return y.astype(jnp.bool_) if squeeze else y
 
 
 def scl_epilogue(spec: CodeSpec, P: int, entries, traj_bit, pm,
@@ -209,10 +218,20 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         (maps reset to iota on write and only forks disturb them), so
         reads of it skip the one-hot gather entirely."""
         state = dict(state)
-        state["rlam"] = tuple(
-            _pgather(r, perm, 0) for r in state["rlam"])
-        state["rdec"] = tuple(
-            _pgather(r, perm[None], 1) for r in state["rdec"])
+        # one batched gather over all stacked maps instead of 3m separate
+        # P-way gathers: same data volume, ~20x fewer traced equations —
+        # the unrolled program's trace size is the compile-time limiter
+        # for large-P configs (mixed N=4096 L=32)
+        both = jnp.concatenate(
+            [jnp.stack(state["rlam"])] + list(state["rdec"]), axis=0)
+        g = _pgather(both, perm[None], 1)
+        state["rlam"] = tuple(g[s] for s in range(m))
+        off = m
+        rdec = []
+        for s in range(m):
+            rdec.append(g[off:off + factors[s]])
+            off += factors[s]
+        state["rdec"] = tuple(rdec)
         if unroll:
             state["epoch"] = state["epoch"] + 1
         return state
@@ -242,6 +261,27 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
             return state["dec"][s - 1][j]          # identity-mapped
         return _pgather(state["dec"][s - 1][j],
                         state["rdec"][s - 1][j][:, None, :], 0)
+
+    def _dec_children(state, s, count):
+        """Children 0..count-1 decisions at stage s as a list of
+        [P, n_s, B]: epoch-elided children read directly, the rest through
+        ONE batched gather (trace size, see _apply_perm)."""
+        rows = [None] * count
+        stale = []
+        for j in range(count):
+            if unroll and state["dec_ep"][s - 1][j] == state["epoch"]:
+                rows[j] = state["dec"][s - 1][j]
+            else:
+                stale.append(j)
+        if len(stale) == 1:
+            rows[stale[0]] = _dec_child(state, s, stale[0])
+        elif stale:
+            xs = jnp.stack([state["dec"][s - 1][j] for j in stale])
+            idx = jnp.stack([state["rdec"][s - 1][j] for j in stale])
+            g = _pgather(xs, idx[:, :, None, :], 1)
+            for t, j in enumerate(stale):
+                rows[j] = g[t]
+        return rows
 
     def _write_traj(state, t0, n, perm_first, bits_pnb):
         """Genealogy for a node covering leaves [t0, t0+n): composed perm at
@@ -280,6 +320,27 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
             poss.append(a)
             work = jnp.where(iota_col == a[:, None, :], BIG, work)
         return vals, poss
+
+    def _defer_flips(perms, flips_raw, b):
+        """Map per-round flip bits to final path indexing.
+
+        flip_r is recorded in post-round-r indexing; rounds r+1..q-1 each
+        permute state by perm_{r'} (A -> A[perm]). Hence
+        flips_fin[r] = flip_r[perm_{r+1} o ... o perm_{q-1}]; the suffix
+        compositions come from one associative scan and the q gathers are
+        one batched gather (trace size, see _apply_perm)."""
+        q = len(perms)
+        if q == 1:
+            return [flips_raw[0]]
+        iota = _iota_pb(b)
+
+        def comp(a, bb):               # bb o a per lane
+            return _pgather(bb, a, -2)
+
+        inc = jax.lax.associative_scan(comp, jnp.stack(perms), reverse=True)
+        suffix = jnp.concatenate([inc[1:], iota[None]], axis=0)  # [q, P, B]
+        fin = _pgather(jnp.stack(flips_raw), suffix, 1)
+        return [fin[r] for r in range(q)]
 
     def _fork2(pm, pen0, pen1):
         """Bit-major 2-way fork + top-L: returns (pm', perm, bit)."""
@@ -337,7 +398,7 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
             i = int(digits_np[t0, s - 1])
             # only children < i feed the coset; skip their gathers when the
             # write epoch proves the maps are identity, zero-fill the rest
-            rows = [_dec_child(state, s, j) for j in range(i)]
+            rows = _dec_children(state, s, i)
             zero = jnp.zeros_like(rows[0]) if rows else None
             dec_g = jnp.stack(rows + [zero] * (factors[s - 1] - i))
             llr = proc.static_llr(i, view, dec_g)
@@ -357,8 +418,7 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
 
     def _up(state, s, t0):
         if unroll:
-            dec_g = jnp.stack([_dec_child(state, s, j)
-                               for j in range(factors[s - 1])])
+            dec_g = jnp.stack(_dec_children(state, s, factors[s - 1]))
         else:
             dec_g = _dec_gather(state, s)
         x = procs[s - 1].reencode(dec_g)                   # [P, l, n_s, B]
@@ -412,25 +472,29 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         # Least-reliable extraction is q sequential (min, argmin, mask)
         # passes in the native [P, n, B] layout — no lane transpose, no
         # XLA sort; tie order (lowest index first) matches lax.top_k.
+        # Per-round flips are NOT permuted online (that costs O(q^2 P)
+        # selects per node — prohibitive trace/compute at P=32); they are
+        # recorded raw and mapped to final path indexing afterwards via
+        # the suffix compositions of the round perms (O(q P)).
         q = min(P - 1, n)
         vals, poss = _extract_mins(jnp.abs(lam).astype(jnp.float32), q)
         node_map = _iota_pb(b)
-        flips = jnp.zeros((P, q, b), jnp.int8)
+        perms, flips_raw = [], []
         pm = state["pm"]
         for r in range(q):
             v = _pgather(vals[r], node_map, 0)
-            pm2, perm, flip = _fork2(pm, jnp.zeros_like(v), v)
-            pm = pm2
+            pm, perm, flip = _fork2(pm, jnp.zeros_like(v), v)
             node_map = _pgather(node_map, perm, 0)
-            flips = _pgather(flips, perm[:, None, :], 0)
-            flips = flips.at[:, r, :].set(flip)
+            perms.append(perm)
+            flips_raw.append(flip)
+        flips_fin = _defer_flips(perms, flips_raw, b)
         hd_g = _pgather(hd, node_map[:, None, :], 0)
         xhat = hd_g
         iota_n = jnp.arange(n, dtype=jnp.int32)
         for r in range(q):
             pos_g = _pgather(poss[r], node_map, 0)         # [P, B]
             onehot = (iota_n[None, :, None] == pos_g[:, None, :])
-            xhat = xhat ^ (onehot & (flips[:, r, :][:, None, :] == 1)
+            xhat = xhat ^ (onehot & (flips_fin[r][:, None, :] == 1)
                            ).astype(jnp.int8)
         state = _apply_perm(state, node_map)
         state = dict(state)
@@ -470,17 +534,17 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         pm = state["pm"] + par.astype(jnp.float32) * v0       # mandatory fix
         eta = par                                             # i0 flipped?
         node_map = _iota_pb(b)
-        flips = jnp.zeros((P, q, b), jnp.int8)
+        perms, flips_raw = [], []
         for r in range(1, q + 1):
             v_r = _pgather(vals[r], node_map, 0)
             v0_g = _pgather(v0, node_map, 0)
             pen_flip = v_r + (1.0 - 2.0 * eta.astype(jnp.float32)) * v0_g
-            pm2, perm, flip = _fork2(pm, jnp.zeros_like(pen_flip), pen_flip)
-            pm = pm2
+            pm, perm, flip = _fork2(pm, jnp.zeros_like(pen_flip), pen_flip)
             node_map = _pgather(node_map, perm, 0)
             eta = _pgather(eta, perm, 0) ^ flip
-            flips = _pgather(flips, perm[:, None, :], 0)
-            flips = flips.at[:, r - 1, :].set(flip)
+            perms.append(perm)
+            flips_raw.append(flip)
+        flips_fin = _defer_flips(perms, flips_raw, b)
         hd_g = _pgather(hd, node_map[:, None, :], 0)
         xhat = hd_g
         # i0 flip per final eta state
@@ -490,7 +554,7 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         for r in range(1, q + 1):
             pos_g = _pgather(poss[r], node_map, 0)
             onehot = (iota_n[None, :, None] == pos_g[:, None, :])
-            xhat = xhat ^ (onehot & (flips[:, r - 1, :][:, None, :] == 1)
+            xhat = xhat ^ (onehot & (flips_fin[r - 1][:, None, :] == 1)
                            ).astype(jnp.int8)
         state = _apply_perm(state, node_map)
         state = dict(state)

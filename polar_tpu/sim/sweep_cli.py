@@ -32,6 +32,9 @@ def main(argv=None):
     p.add_argument("--jsonl", default=None, help="append results here")
     p.add_argument("--min-frame-errors", type=int, default=0,
                    help="early-stop a point after this many frame errors")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="batches chained per device dispatch (amortizes "
+                        "the host round-trip; see harness.make_mc_step)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the steady-state "
                         "sweep into DIR (view with XProf/Perfetto)")
@@ -69,7 +72,8 @@ def main(argv=None):
                          per_device_batch=args.per_device_batch,
                          seed=args.seed,
                          state_path=args.state, jsonl_path=args.jsonl,
-                         min_frame_errors=args.min_frame_errors)
+                         min_frame_errors=args.min_frame_errors,
+                         steps_per_call=args.steps_per_call)
     print(json.dumps({"summary": [
         {"ebn0_db": r["ebn0_db"], "fer": r["fer"], "ber": r["ber"],
          "frames": r["frames"]} for r in recs]}))
