@@ -121,25 +121,29 @@ def min_path_cost(trellis: Trellis, lam_adj: jnp.ndarray) -> jnp.ndarray:
     lam_adj: [..., l, n, B] coset-adjusted LLRs (kernel axis third-from-
     last, as in ops/kernel_proc). Returns [..., n, B] min over codewords c
     of sum_t |lam_t| * [hard(lam_t) != c_t].
+
+    The state axis leads and the batch stays in the lane (last) dimension
+    — with S states trailing instead, every vector op runs on S(<16)
+    lanes of the 128 and the pass is ~64x off the VPU's width.
     """
     s = trellis.s_max
     lam_scan = jnp.moveaxis(lam_adj, -3, 0)      # [l, ..., n, B]
     trans = jnp.asarray(trellis.trans)           # [l, 2, S, S]
 
     batch_shape = lam_adj.shape[:-3] + lam_adj.shape[-2:]
-    alpha0 = jnp.full(batch_shape + (s,), INF, jnp.float32).at[..., 0].set(0.0)
+    alpha0 = jnp.full((s,) + batch_shape, INF, jnp.float32).at[0].set(0.0)
 
     def section(alpha, xs):
-        tr, lam_t = xs                           # [2, S, S], [..., n, B]
+        tr, lam_t = xs                           # [2, S, S'], [..., n, B]
         pen = jnp.stack([jnp.maximum(-lam_t, 0.0),
                          jnp.maximum(lam_t, 0.0)])       # [2, ..., n, B]
-        # min-plus product per bit label, then combine labels with their
-        # branch penalties: alpha'[b][..., s'] =
-        #   min_s alpha[..., s] + tr[b, s, s']  (+ pen[b])
-        tr_b = tr.reshape((2,) + (1,) * (alpha.ndim - 1) + (s, s))
-        expanded = alpha[None, ..., :, None] + tr_b      # [2, ..., S, S']
-        best = jnp.min(expanded, axis=-2) + pen[..., None]
+        # alpha'[s'] = min over (bit b, state s) of
+        #   alpha[s] + tr[b, s, s'] + pen[b]
+        nd = alpha.ndim - 1
+        tr_b = tr.reshape((2, s, s) + (1,) * nd)
+        expanded = alpha[None, :, None] + tr_b           # [2, S, S', ...]
+        best = jnp.min(expanded, axis=1) + pen[:, None]  # [2, S', ...]
         return jnp.min(best, axis=0), None
 
     alpha, _ = jax.lax.scan(section, alpha0, (trans, lam_scan))
-    return jnp.min(alpha, axis=-1)
+    return jnp.min(alpha, axis=0)

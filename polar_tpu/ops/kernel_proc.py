@@ -94,9 +94,12 @@ class StageProcessor:
         """max over tail codewords of correlation; lam_adj [.., l, n, B]."""
         t = jnp.asarray(self.tables[i], dtype=lam_adj.dtype)  # [l, C]
         c = t.shape[1]
+        # contraction output is [..., C, n, B] — tail-codeword axis C
+        # leads so the batch keeps the lane dimension (C < 128 in lanes
+        # would starve the VPU)
         if c <= _CHUNK:
-            corr = jnp.einsum("...lnB,lc->...nBc", lam_adj, t)
-            return jnp.max(corr, axis=-1)
+            corr = jnp.einsum("...lnB,lc->...cnB", lam_adj, t)
+            return jnp.max(corr, axis=-3)
         n_chunks = (c + _CHUNK - 1) // _CHUNK
         pad = n_chunks * _CHUNK - c
         # pad table with zero columns; mask them to -inf after the matmul
@@ -106,9 +109,9 @@ class StageProcessor:
 
         def body(carry, xs):
             tc, vc = xs
-            corr = jnp.einsum("...lnB,lc->...nBc", lam_adj, tc)
-            corr = jnp.where(vc, corr, -jnp.inf)
-            return jnp.maximum(carry, jnp.max(corr, axis=-1)), None
+            corr = jnp.einsum("...lnB,lc->...cnB", lam_adj, tc)
+            corr = jnp.where(vc[:, None, None], corr, -jnp.inf)
+            return jnp.maximum(carry, jnp.max(corr, axis=-3)), None
 
         init = jnp.full(lam_adj.shape[:-3] + lam_adj.shape[-2:], -jnp.inf,
                         dtype=lam_adj.dtype)

@@ -24,11 +24,14 @@ pointer-rich per-codeword C++ design (SURVEY.md §7.0):
   REP: candidate order bit-major, ties prefer bit 0 then lower path index
   — matching polar_tpu.oracle; R1 fast forks: keep/flip order per
   Fast-SSCL).
-- Per-op survival permutations are recorded as genealogy: each op writes
-  its composed permutation at its first leaf slot (identity elsewhere) and
-  its decided u bits in final path indexing; decided u vectors are
-  reconstructed afterwards by one backward scan — no O(N*L) per-leaf
-  state copies.
+- Per-op survival permutations are recorded as genealogy; decided u
+  vectors are reconstructed afterwards (unroll mode: one associative-scan
+  suffix composition over the ~n_ops perms + static per-op gathers; fori
+  mode: a backward scan over leaves) — no O(N*L) per-leaf state copies.
+- All cross-path indexing is `pgather` (one-hot select+reduce): a real
+  per-lane gather serializes on TPU, and the one-hot form must be a
+  single broadcast op, not a Python loop, to keep the unrolled trace
+  compilable at large P (see pgather docstring).
 
 Path metric: PM += |llr| on sign mismatch (arXiv:1411.7282) — by the
 telescoping identity this equals the min cost over codewords consistent
