@@ -27,8 +27,11 @@ marginals — ours are):
 - SPC (single parity check: first leaf frozen, rest info; only valid when
   every kernel below has exactly one odd-weight row, i.e. pure-Arikan
   subtrees): SC: hd + flip least-reliable position if parity fails,
-  PM += min|lam| on failure. Exact. SCL: descends (not classified) for
-  now.
+  PM += min|lam| on failure. Exact. SCL: Fast-SSCL-SPC — mandatory parity
+  fix then min(L, n-1) keep/flip pair-forks with per-path parity state
+  (ops/scl.py `_spc`); classified under the same `fast_r1_scl` gate as R1
+  (identical survivors/metrics; tie order may differ from leaf-sequential
+  SCL), verified frame-for-frame in tests/test_fast_nodes.py.
 - LEAF: single-leaf fallback — the original frozen/fork step (bit-major
   candidates), preserving the oracle's tie behavior exactly.
 - DOWN/UP: the original stage ops (kernel-input LLR / re-encode).

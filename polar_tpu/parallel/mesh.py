@@ -12,9 +12,8 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def make_batch_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -59,12 +58,3 @@ def sharded_mc_step(step_fn, mesh: Mesh):
         return {k: jax.lax.psum(v, "batch") for k, v in counters.items()}
 
     return wrapped
-
-
-def device_batch(mesh: Mesh, per_device: int) -> int:
-    return per_device * mesh.devices.size
-
-
-def shard_array(mesh: Mesh, x: jnp.ndarray) -> jnp.ndarray:
-    """Place x with its leading axis sharded over the mesh batch axis."""
-    return jax.device_put(x, NamedSharding(mesh, P("batch")))

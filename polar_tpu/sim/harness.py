@@ -33,15 +33,28 @@ from polar_tpu.parallel.mesh import make_batch_mesh, sharded_mc_step
 from polar_tpu.sim.channel import ebn0_to_sigma
 
 
-def make_mc_step(spec: CodeSpec, list_size: int, steps_per_call: int = 1):
+def make_mc_step(spec: CodeSpec, list_size: int, steps_per_call: int = 1,
+                 backend: str = "xla", interpret: bool = False):
     """Per-shard Monte-Carlo step: key, (sigma,) -> counter dict.
 
     steps_per_call > 1 chains that many independent batches inside one
     jitted call (`fori_loop`, key folded per sub-step) — one host dispatch
     + one counter fetch per superbatch instead of per batch. The host
     round-trip dominates at TPU decode rates (~100 ms through the remote
-    tunnel vs ~24 ms of decode at B=8192)."""
-    decode = build_scl_decoder(spec, list_size)
+    tunnel vs ~24 ms of decode at B=8192).
+
+    backend: "xla" (ops/scl.py unrolled program) or "pallas" (VMEM-resident
+    mega-kernel, ops/pallas_scl.py; batch must be a multiple of its 128-lane
+    tile). Both are bit-identical — the knob trades compile time for rate.
+    interpret runs the Pallas kernel in interpreter mode (CPU tests only)."""
+    if backend == "pallas":
+        from polar_tpu.ops.pallas_scl import build_pallas_scl_decoder
+        decode = build_pallas_scl_decoder(spec, list_size,
+                                          interpret=interpret)
+    elif backend == "xla":
+        decode = build_scl_decoder(spec, list_size)
+    else:
+        raise ValueError(f"unknown decode backend {backend!r}")
     K = spec.K
 
     def one(key, sigma, batch: int):
@@ -121,7 +134,8 @@ def run_sweep(preset: Preset, frames: int | None = None,
               per_device_batch: int | None = None, seed: int = 0,
               mesh=None, state_path: str | None = None,
               jsonl_path: str | None = None, min_frame_errors: int = 0,
-              progress: bool = True, steps_per_call: int = 1) -> list[dict]:
+              progress: bool = True, steps_per_call: int = 1,
+              backend: str = "xla", interpret: bool = False) -> list[dict]:
     """Run the Monte-Carlo FER sweep for a preset. Returns per-SNR records.
 
     min_frame_errors: optional early-stop once a SNR point has this many
@@ -134,7 +148,8 @@ def run_sweep(preset: Preset, frames: int | None = None,
     global_batch = pdb * n_dev
 
     raw_step = make_mc_step(preset.spec, preset.list_size,
-                            steps_per_call=steps_per_call)
+                            steps_per_call=steps_per_call, backend=backend,
+                            interpret=interpret)
     if n_dev == 1:
         # single chip: no collective needed — and the axon remote-TPU
         # plugin hangs on shard_map/psum, so don't route through it

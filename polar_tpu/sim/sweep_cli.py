@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="batches chained per device dispatch (amortizes "
                         "the host round-trip; see harness.make_mc_step)")
+    p.add_argument("--backend", choices=("xla", "pallas"), default="xla",
+                   help="decoder backend: pallas = VMEM-resident mega-"
+                        "kernel (ops/pallas_scl.py), ~2x the XLA rate")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the steady-state "
                         "sweep into DIR (view with XProf/Perfetto)")
@@ -61,19 +64,24 @@ def main(argv=None):
         import jax
 
         run_sweep(preset, frames=1, per_device_batch=args.per_device_batch,
-                  seed=args.seed, progress=False)
+                  seed=args.seed, progress=False,
+                  steps_per_call=args.steps_per_call, backend=args.backend)
         with jax.profiler.trace(args.profile):
             recs = run_sweep(preset, frames=args.frames,
                              per_device_batch=args.per_device_batch,
                              seed=args.seed, jsonl_path=args.jsonl,
-                             min_frame_errors=args.min_frame_errors)
+                             state_path=args.state,
+                             min_frame_errors=args.min_frame_errors,
+                             steps_per_call=args.steps_per_call,
+                             backend=args.backend)
     else:
         recs = run_sweep(preset, frames=args.frames,
                          per_device_batch=args.per_device_batch,
                          seed=args.seed,
                          state_path=args.state, jsonl_path=args.jsonl,
                          min_frame_errors=args.min_frame_errors,
-                         steps_per_call=args.steps_per_call)
+                         steps_per_call=args.steps_per_call,
+                         backend=args.backend)
     print(json.dumps({"summary": [
         {"ebn0_db": r["ebn0_db"], "fer": r["fer"], "ber": r["ber"],
          "frames": r["frames"]} for r in recs]}))

@@ -82,6 +82,23 @@ def test_entry_compiles():
     assert int(out["frames"]) == 64
 
 
+def test_pallas_backend_matches_xla_counters():
+    """harness backend="pallas" produces identical counters to the XLA
+    backend on the same keys (both decoders are bit-identical)."""
+    import jax.numpy as jnp
+
+    preset = _tiny_preset()
+    xla = make_mc_step(preset.spec, preset.list_size, backend="xla")
+    pal = make_mc_step(preset.spec, preset.list_size, backend="pallas",
+                       interpret=True)
+    key = jax.random.key(11)
+    args = {"sigma": jnp.float32(0.9)}
+    o1 = jax.jit(lambda k, a: xla(k, a, 128))(key, args)
+    o2 = pal(key, args, 128)
+    for f in ("frames", "frame_errors", "bit_errors"):
+        assert int(o1[f]) == int(o2[f]), f
+
+
 def test_superbatch_counts_frames():
     """steps_per_call chains k batches per dispatch; frame accounting and
     error statistics stay consistent with the per-call path."""

@@ -1,6 +1,6 @@
 """Pallas mega-kernel SCL decoder vs the XLA decoder (interpret mode on
-the CPU backend; the real-TPU bit-match is exercised by _perf8-style
-drivers and bench.py)."""
+the CPU backend; the real-TPU bit-match is exercised by
+benchmarks/decode_bench.py and bench.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
