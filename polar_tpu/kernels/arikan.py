@@ -26,3 +26,21 @@ def f_minsum(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def g_update(a: jnp.ndarray, b: jnp.ndarray, u0: jnp.ndarray) -> jnp.ndarray:
     """Variable-node (i=1) LLR update given the decision u0 for input 0."""
     return b + (1.0 - 2.0 * u0.astype(a.dtype)) * a
+
+
+def f_exact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Check-node (i=0) LLR update, exact boxplus
+    2*atanh(tanh(a/2)*tanh(b/2)), in the numerically stable log-domain
+    form  f_minsum(a, b) + log1p(e^{-(|a|+|b|)}) - log1p(e^{-||a|-|b||}).
+
+    Bit-match knob (SURVEY.md §2.3 item 5): flips the decoder from the
+    min-sum approximation to exact sum-product marginals so a reference
+    using tanh-sum f can be matched. The fast-SSC(L) node shortcuts assume
+    min-sum telescoping and are auto-disabled under this mode
+    (ops/scl.py `build_scl_decoder(f_mode="exact")`).
+    """
+    aa, ab = jnp.abs(a), jnp.abs(b)
+    corr = (jnp.log1p(jnp.exp(-(aa + ab)))
+            - jnp.log1p(jnp.exp(-jnp.abs(aa - ab))))
+    sign = jnp.where((a < 0) ^ (b < 0), -1.0, 1.0).astype(a.dtype)
+    return f_minsum(a, b) + sign * corr.astype(a.dtype)

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from polar_tpu.kernels.arikan import f_minsum
+from polar_tpu.kernels.arikan import f_exact, f_minsum
 
 _CHUNK = 512  # max tail-table columns materialized at once
 
@@ -47,17 +47,34 @@ def _tail_table(kernel: np.ndarray, i: int) -> np.ndarray:
 
 
 class StageProcessor:
-    """LLR processor for one kernel stage. Host-built, device-applied."""
+    """LLR processor for one kernel stage. Host-built, device-applied.
 
-    def __init__(self, kernel: np.ndarray):
+    f_mode (bit-match knob, SURVEY.md §2.3 item 5): "minsum" computes
+    max-log (min-sum) input marginals — f/g closed forms for the 2x2
+    kernel, trellis/max-correlation for large kernels. "exact" computes
+    true sum-product marginals: boxplus for the 2x2 kernel, logsumexp
+    over the full coset tables for large kernels (tables for every i;
+    correctness/bit-match path, not a throughput path).
+    """
+
+    def __init__(self, kernel: np.ndarray, f_mode: str = "minsum"):
         # All static tables stay host-side numpy: jnp closure constants that
         # live on a remote-tunnelled TPU device cost a blocking device fetch
         # *per constant* at MLIR lowering time; numpy constants embed free.
+        if f_mode not in ("minsum", "exact"):
+            raise ValueError(f"unknown f_mode {f_mode!r}")
         self.kernel = np.asarray(kernel, dtype=np.uint8)
         self.l = int(kernel.shape[0])
+        self.f_mode = f_mode
         self.k_f32 = self.kernel.astype(np.float32)
         self.row_signs = 1.0 - 2.0 * self.kernel.astype(np.float32)
-        if self.l > 2:
+        if self.l > 2 and f_mode == "exact":
+            # exact marginals need the full coset enumeration: table
+            # backend for every input (the min-plus trellis computes the
+            # max-log semiring only)
+            self.backend = ["table"] * self.l
+            self.tables = [_tail_table(self.kernel, i) for i in range(self.l)]
+        elif self.l > 2:
             from polar_tpu.kernels.trellis import tail_trellis
 
             kb = self.kernel.tobytes()
@@ -118,12 +135,38 @@ class StageProcessor:
         out, _ = jax.lax.scan(body, init, (chunks, valid))
         return out
 
+    def _lsecorr(self, lam_adj: jnp.ndarray, i: int) -> jnp.ndarray:
+        """logsumexp over tail codewords of correlation/2 (exact marginal
+        counterpart of _maxcorr); lam_adj [.., l, n, B]."""
+        t = jnp.asarray(self.tables[i], dtype=jnp.float32)   # [l, C]
+        c = t.shape[1]
+        la = lam_adj.astype(jnp.float32)
+        if c <= _CHUNK:
+            corr = jnp.einsum("...lnB,lc->...cnB", la, t)
+            return jax.nn.logsumexp(0.5 * corr, axis=-3)
+        n_chunks = (c + _CHUNK - 1) // _CHUNK
+        pad = n_chunks * _CHUNK - c
+        tp = jnp.pad(t, ((0, 0), (0, pad)))
+        chunks = tp.reshape(self.l, n_chunks, _CHUNK).transpose(1, 0, 2)
+        valid = (jnp.arange(n_chunks * _CHUNK).reshape(n_chunks, _CHUNK) < c)
+
+        def body(carry, xs):
+            tc, vc = xs
+            corr = 0.5 * jnp.einsum("...lnB,lc->...cnB", la, tc)
+            corr = jnp.where(vc[:, None, None], corr, -jnp.inf)
+            return jnp.logaddexp(carry, jax.nn.logsumexp(corr, axis=-3)), None
+
+        init = jnp.full(la.shape[:-3] + la.shape[-2:], -jnp.inf, jnp.float32)
+        out, _ = jax.lax.scan(body, init, (chunks, valid))
+        return out
+
     def _llr_static(self, i: int, lam_adj: jnp.ndarray) -> jnp.ndarray:
         """Input-i LLR from coset-adjusted llrs. lam_adj [P, l, n, B]."""
         if self.l == 2:
             a, b = lam_adj[:, 0], lam_adj[:, 1]
             if i == 0:
-                return f_minsum(a, b)
+                return (f_exact(a, b) if self.f_mode == "exact"
+                        else f_minsum(a, b))
             return a + b  # g with u0 absorbed into the coset sign of a
         if i == self.l - 1:  # single tail codeword: plain correlation diff
             return jnp.einsum("PlnB,l->PnB", lam_adj,
@@ -133,6 +176,9 @@ class StageProcessor:
             [lam_adj,
              lam_adj * jnp.asarray(self.row_signs[i],
                                    dtype=lam_adj.dtype)[None, :, None, None]])
+        if self.f_mode == "exact":
+            lse = self._lsecorr(both, i)   # [2, P, n, B]
+            return (lse[0] - lse[1]).astype(lam_adj.dtype)
         if self.backend[i] == "trellis":
             from polar_tpu.kernels.trellis import min_path_cost
 

@@ -165,7 +165,8 @@ def finalize(spec: CodeSpec, P: int, u_all, payload_all, pm) -> DecodeResult:
 
 def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
                       fast: bool = True, fast_r1_scl: bool = True,
-                      llr_dtype=jnp.float32, unroll: bool = True):
+                      llr_dtype=jnp.float32, unroll: bool = True,
+                      f_mode: str = "minsum", pm_mode: str = "abs"):
     """Returns decode(llrs: [B, N] f32) -> DecodeResult. Jit the result.
 
     fast: use the pruned fast-SSC(L) node program (exact; see
@@ -181,19 +182,40 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
     becomes a compile-time constant (static slices, no per-input
     `lax.switch`, frozen leaves skip the fork), letting XLA fuse across op
     boundaries; same math, bit-identical results, larger compile.
+
+    Bit-match knobs (SURVEY.md §2.3 items 4-5 — conventions a real
+    reference may use, flippable without touching decoder code):
+    f_mode: "minsum" (default) or "exact" — exact boxplus / sum-product
+    kernel marginals (kernels/arikan.f_exact, kernel_proc exact tables).
+    pm_mode: "abs" (default; PM += |llr| on sign mismatch, arXiv:1411.7282
+    hard variant) or "smooth" (PM += log1p(exp(-(1-2u)·llr)), the exact
+    Balatsoukas-Stimming metric). Either non-default knob disables the
+    fast-SSC(L) node shortcuts (they rely on the min-sum/abs telescoping
+    identity) — the decoder falls back to the leaf-sequential program.
     """
     if genie and list_size != 1:
         raise ValueError("genie mode requires list_size=1")
+    if pm_mode not in ("abs", "smooth"):
+        raise ValueError(f"unknown pm_mode {pm_mode!r}")
+    if f_mode != "minsum" or pm_mode != "abs":
+        fast = False  # node shortcuts assume min-sum/abs telescoping
     m = len(spec.factors)
     P = int(list_size)
     sched = build_schedule(spec)
-    procs = [StageProcessor(k) for k in spec.kernels]
+    procs = [StageProcessor(k, f_mode=f_mode) for k in spec.kernels]
     inv_kernels = staged_inverse_kernels(spec)
     n_sizes = spec.block_sizes
     factors = spec.factors
     N = spec.N
     program = build_program(spec, scl=(P > 1), classify=fast,
                             fast_r1_scl=fast_r1_scl, genie=genie)
+
+    if pm_mode == "smooth":
+        def _pen_neg(lam):   # penalty for deciding u with (1-2u)·llr = lam
+            return jax.nn.softplus(-lam.astype(jnp.float32))
+    else:
+        def _pen_neg(lam):
+            return jnp.maximum(-lam.astype(jnp.float32), 0.0)
 
     # numpy schedule tables — wrapped with jnp.asarray only inside traced
     # code, so they embed as MLIR constants without a device fetch (the
@@ -569,8 +591,8 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
     def _leaf(state, t):
         b = state["pm"].shape[-1]
         lam_leaf = state["lam"][m - 1][:, 0, :]
-        pen0 = jnp.maximum(-lam_leaf, 0.0).astype(jnp.float32)
-        pen1 = jnp.maximum(lam_leaf, 0.0).astype(jnp.float32)
+        pen0 = _pen_neg(lam_leaf)
+        pen1 = _pen_neg(-lam_leaf)
         iota = _iota_pb(b)
         if genie:
             bit = jnp.zeros((P, b), jnp.int8)

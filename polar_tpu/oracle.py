@@ -26,11 +26,13 @@ from polar_tpu.utils.gf2 import gf2_matmul
 
 
 def kernel_input_llr(kernel: np.ndarray, i: int, llrs: np.ndarray,
-                     prev_u: np.ndarray) -> float:
-    """Min-sum LLR of kernel input i given output llrs and decided inputs.
+                     prev_u: np.ndarray, f_mode: str = "minsum") -> float:
+    """LLR of kernel input i given output llrs and decided inputs.
 
-    cost(x) = sum_j |llr_j| * [hard(llr_j) != x_j];
+    minsum: cost(x) = sum_j |llr_j| * [hard(llr_j) != x_j];
     llr_i = min cost over coset(u_i=1) - min cost over coset(u_i=0).
+    exact: llr_i = lse over coset(u_i=0) of (-cost) - lse over coset(u_i=1)
+    (true sum-product marginal; the device f_mode="exact" counterpart).
     """
     l = kernel.shape[0]
     n_free = l - i - 1
@@ -48,7 +50,10 @@ def kernel_input_llr(kernel: np.ndarray, i: int, llrs: np.ndarray,
     for ui in (0, 1):
         x = tails ^ base[None, :] ^ (kernel[i][None, :] if ui else 0)
         cost = (abs_l[None, :] * (x != hard[None, :])).sum(axis=1)
-        costs.append(cost.min())
+        if f_mode == "exact":
+            costs.append(-np.logaddexp.reduce(-cost))
+        else:
+            costs.append(cost.min())
     return float(costs[1] - costs[0])
 
 
@@ -65,7 +70,7 @@ def _encode_sub(spec: CodeSpec, stage: int, u: np.ndarray) -> np.ndarray:
 
 
 def llr_at_next_leaf(spec: CodeSpec, channel_llrs: np.ndarray,
-                     u_prefix: np.ndarray) -> float:
+                     u_prefix: np.ndarray, f_mode: str = "minsum") -> float:
     """LLR of leaf t = len(u_prefix) given channel llrs and decided prefix."""
 
     def rec(stage: int, llrs: np.ndarray, known: np.ndarray) -> float:
@@ -82,7 +87,7 @@ def llr_at_next_leaf(spec: CodeSpec, channel_llrs: np.ndarray,
                                     known[j * n_child:(j + 1) * n_child])
         child = np.array([
             kernel_input_llr(spec.kernels[stage - 1], i_cur, view[:, b],
-                             prev_w[:, b])
+                             prev_w[:, b], f_mode=f_mode)
             for b in range(n_child)
         ])
         return rec(stage + 1, child, known[i_cur * n_child:])
@@ -91,25 +96,35 @@ def llr_at_next_leaf(spec: CodeSpec, channel_llrs: np.ndarray,
                np.asarray(u_prefix, dtype=np.uint8))
 
 
-def sc_decode(spec: CodeSpec, channel_llrs: np.ndarray) -> np.ndarray:
+def _penalty(lam: float, bit: int, pm_mode: str) -> float:
+    """Path-metric penalty for deciding `bit` at a leaf with LLR `lam`."""
+    if pm_mode == "smooth":
+        return float(np.logaddexp(0.0, -(1.0 - 2.0 * bit) * lam))
+    return abs(lam) if (lam < 0) != bool(bit) else 0.0
+
+
+def sc_decode(spec: CodeSpec, channel_llrs: np.ndarray,
+              f_mode: str = "minsum") -> np.ndarray:
     """Plain SC: returns the decided u vector [N]."""
     u = np.zeros(spec.N, dtype=np.uint8)
     for t in range(spec.N):
-        lam = llr_at_next_leaf(spec, channel_llrs, u[:t])
+        lam = llr_at_next_leaf(spec, channel_llrs, u[:t], f_mode=f_mode)
         u[t] = 0 if spec.frozen[t] else int(lam < 0)
     return u
 
 
 def scl_decode(spec: CodeSpec, channel_llrs: np.ndarray, list_size: int,
-               return_all: bool = False):
+               return_all: bool = False, f_mode: str = "minsum",
+               pm_mode: str = "abs"):
     """CRC-aided SCL. Returns decided u [N] (best path after CRC selection)."""
     paths: list[tuple[float, list[int]]] = [(0.0, [])]
     for t in range(spec.N):
-        lams = [llr_at_next_leaf(spec, channel_llrs, np.array(p, dtype=np.uint8))
+        lams = [llr_at_next_leaf(spec, channel_llrs,
+                                 np.array(p, dtype=np.uint8), f_mode=f_mode)
                 for _, p in paths]
         if spec.frozen[t]:
             paths = [
-                (pm + (abs(lam) if lam < 0 else 0.0), p + [0])
+                (pm + _penalty(lam, 0, pm_mode), p + [0])
                 for (pm, p), lam in zip(paths, lams)
             ]
         else:
@@ -117,8 +132,7 @@ def scl_decode(spec: CodeSpec, channel_llrs: np.ndarray, list_size: int,
             # candidate order: bit-major then path index (device top_k tie rule)
             for bit in (0, 1):
                 for (pm, p), lam in zip(paths, lams):
-                    penalty = abs(lam) if (lam < 0) != bool(bit) else 0.0
-                    cands.append((pm + penalty, p + [bit]))
+                    cands.append((pm + _penalty(lam, bit, pm_mode), p + [bit]))
             order = sorted(range(len(cands)), key=lambda c: (cands[c][0], c))
             paths = [cands[c] for c in order[:list_size]]
     if return_all:

@@ -60,6 +60,23 @@ def test_device_matches_oracle(factors, K, L, crc):
         assert np.array_equal(out[i], ref), f"frame {i} mismatch"
 
 
+@pytest.mark.slow
+def test_midsize_mixed_matches_oracle():
+    """VERDICT.md r1 item 1: device-vs-oracle bit-match at a mid-size
+    mixed-kernel CA-SCL config (N=128 = 16*2*2*2, L=8, CRC-16) anchoring
+    BASELINE config 4's correctness chain (same kernel mix + CRC selection
+    as mixed_scl32, at an oracle-tractable size)."""
+    spec = _spec((16, 2, 2, 2), 60, CrcSpec(width=16, poly=0x1021), seed=3)
+    L = 8
+    dec = jax.jit(build_scl_decoder(spec, L))
+    B = 4
+    _, llr = _noisy_frames(spec, B, seed=7, valid_crc=True)
+    out = np.asarray(dec(jnp.asarray(llr)).u)
+    for i in range(B):
+        ref = scl_decode(spec, llr[i], L)
+        assert np.array_equal(out[i], ref), f"frame {i} mismatch"
+
+
 def test_noiseless_roundtrip():
     for factors, K in [((2, 2, 2, 2, 2, 2), 32), ((16, 2, 2), 32)]:
         spec = _spec(factors, K)
