@@ -115,6 +115,53 @@ def tail_trellis(kernel_bytes: bytes, l: int, i: int) -> Trellis:
     return build_trellis(kernel[i + 1:], l)
 
 
+@lru_cache(maxsize=None)
+def tail_syndrome_cols(kernel_bytes: bytes, l: int, i: int
+                       ) -> tuple[int, tuple[int, ...]]:
+    """Syndrome-trellis form of `tail_trellis`: the tail code
+    span(rows i+1..l-1) as its parity-check matrix H [r, l], returned as
+    (n_states=2^r, per-position syndrome columns as ints).
+
+    The syndrome trellis (states = partial syndromes s_t, transition on
+    bit 1 = XOR with column t, valid paths end at syndrome 0) has the
+    same reachable-state partition as the minimal trellis, so a min-plus
+    pass over it produces float-identical path costs to `min_path_cost`
+    — but the bit-1 transition is a pure XOR relabeling of the state
+    axis, which the Pallas mega-kernel exploits: states live as a Python
+    list of arrays and the XOR permutation is free at trace time
+    (ops/pallas_scl.py)."""
+    from polar_tpu.utils.gf2 import gf2_null_space
+
+    kernel = np.frombuffer(kernel_bytes, dtype=np.uint8).reshape(l, l)
+    h = gf2_null_space(kernel[i + 1:])           # [r, l]
+    h = np.atleast_2d(h).reshape(-1, l)
+    r = h.shape[0]
+    cols = tuple(int((h[:, t].astype(np.int64) << np.arange(r)).sum())
+                 for t in range(l))
+    return (1 << r), cols
+
+
+def syndrome_min_cost(n_states: int, cols, lam_adj: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """min_path_cost over the syndrome trellis; same I/O contract
+    ([..., l, n, B] -> [..., n, B]) and float-identical results (each
+    alpha update is a 2-operand add + an order-free min, in the same
+    section order). jnp reference for the in-kernel Pallas version."""
+    l = lam_adj.shape[-3]
+    alpha = [jnp.zeros(lam_adj.shape[:-3] + lam_adj.shape[-2:], jnp.float32)
+             if s == 0 else None for s in range(n_states)]
+    inf = jnp.full(lam_adj.shape[:-3] + lam_adj.shape[-2:], INF, jnp.float32)
+    alpha = [a if a is not None else inf for a in alpha]
+    for t in range(l):
+        lam_t = lam_adj[..., t, :, :]
+        pen0 = jnp.maximum(-lam_t, 0.0)
+        pen1 = jnp.maximum(lam_t, 0.0)
+        c = cols[t]
+        alpha = [jnp.minimum(alpha[s] + pen0, alpha[s ^ c] + pen1)
+                 for s in range(n_states)]
+    return alpha[0]
+
+
 def min_path_cost(trellis: Trellis, lam_adj: jnp.ndarray) -> jnp.ndarray:
     """Min-sum path cost over the trellis.
 

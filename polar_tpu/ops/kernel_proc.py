@@ -37,6 +37,26 @@ from polar_tpu.kernels.arikan import f_exact, f_minsum
 _CHUNK = 512  # max tail-table columns materialized at once
 
 
+def tree_corr(lam_adj: jnp.ndarray, t) -> jnp.ndarray:
+    """Correlations of lam_adj [..., l, n, B] against table columns
+    t [l, C] -> [..., C, n, B], summed over l as a FIXED pairwise tree
+    ((0+1)+(2+3))+... — not einsum/dot, whose float reduction order is
+    backend-defined. The Pallas mega-kernel (ops/pallas_scl.py) evaluates
+    the same expression tree, so XLA and Mosaic produce bit-identical
+    correlations (the repo's cross-backend bit-match tests rely on it)."""
+    t = jnp.asarray(t, dtype=lam_adj.dtype)
+    l = t.shape[0]
+    pre = (1,) * (lam_adj.ndim - 3)
+    terms = [lam_adj[..., j, None, :, :] * t[j].reshape(pre + (-1, 1, 1))
+             for j in range(l)]
+    while len(terms) > 1:
+        nxt = [terms[k] + terms[k + 1] for k in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
 def _tail_table(kernel: np.ndarray, i: int) -> np.ndarray:
     """All codewords of span(rows i+1..l-1) as a +-1 matrix [l, 2^(l-1-i)]."""
     l = kernel.shape[0]
@@ -115,7 +135,7 @@ class StageProcessor:
         # leads so the batch keeps the lane dimension (C < 128 in lanes
         # would starve the VPU)
         if c <= _CHUNK:
-            corr = jnp.einsum("...lnB,lc->...cnB", lam_adj, t)
+            corr = tree_corr(lam_adj, t)
             return jnp.max(corr, axis=-3)
         n_chunks = (c + _CHUNK - 1) // _CHUNK
         pad = n_chunks * _CHUNK - c
@@ -126,7 +146,7 @@ class StageProcessor:
 
         def body(carry, xs):
             tc, vc = xs
-            corr = jnp.einsum("...lnB,lc->...cnB", lam_adj, tc)
+            corr = tree_corr(lam_adj, tc)
             corr = jnp.where(vc[:, None, None], corr, -jnp.inf)
             return jnp.maximum(carry, jnp.max(corr, axis=-3)), None
 
@@ -169,9 +189,8 @@ class StageProcessor:
                         else f_minsum(a, b))
             return a + b  # g with u0 absorbed into the coset sign of a
         if i == self.l - 1:  # single tail codeword: plain correlation diff
-            return jnp.einsum("PlnB,l->PnB", lam_adj,
-                              jnp.asarray(self.kernel[i].astype(np.float32),
-                                          dtype=lam_adj.dtype))
+            row = self.kernel[i].astype(np.float32).reshape(self.l, 1)
+            return tree_corr(lam_adj, row)[..., 0, :, :]
         both = jnp.stack(
             [lam_adj,
              lam_adj * jnp.asarray(self.row_signs[i],

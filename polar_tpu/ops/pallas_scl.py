@@ -25,8 +25,22 @@ TPU-specific choices:
 - **Trace-time fork epochs** (ops/scl.py `_apply_perm`): reads of buffers
   written since the last fork skip the gather entirely.
 
-Only pure-Arikan kernels (all factors == 2) are supported — BCH/mixed
-kernels run on the XLA path (ops/scl.py). Outputs feed the same
+- **BCH / mixed kernels** (SURVEY.md C5; BASELINE north star "trellis-
+  based processing for large BCH kernels"): l>2 DOWN ops run in-kernel.
+  Small inputs i use a *syndrome trellis* min-plus pass — states are a
+  Python list of [2, P, n, BT] arrays, so the bit-1 transition (XOR of
+  the state index by the position's syndrome column) is a free trace-time
+  relabeling and each section is 3 VPU ops per state; float-identical to
+  the XLA minimal-trellis scan (kernels/trellis.syndrome_min_cost).
+  Large i use the tail-coset max-correlation with the same fixed-order
+  pairwise tree contraction as the XLA path (ops/kernel_proc.tree_corr)
+  — Mosaic and XLA evaluate the same expression DAG, so the backends
+  stay bit-identical. The per-input backend split mirrors
+  kernel_proc.StageProcessor exactly.
+
+Practical envelope: the whole decode state must fit VMEM per batch tile,
+so very large (P, n) combinations of BCH stages (e.g. mixed N=4096 L=32)
+exceed the tile budget — those run on the XLA path. Outputs feed the same
 genealogy-backtrack + CRC-selection epilogue as the XLA path, shared via
 `scl_epilogue`.
 """
@@ -42,9 +56,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from polar_tpu.models.polar import CodeSpec
-from polar_tpu.ops.program import build_program
+from polar_tpu.ops.program import build_program, staged_inverse_kernels
 
 BIG = np.float32(1e30)
+INF = np.float32(3e38) / 4          # kernels/trellis.INF (min-plus padding)
+_TERM_BUDGET = 8 * 1024 * 1024      # max bytes per table-correlation chunk
+
+
+class _BigStage:
+    """Host-side metadata for an l>2 kernel stage, mirroring
+    ops/kernel_proc.StageProcessor's backend split input-for-input."""
+
+    def __init__(self, kernel: np.ndarray):
+        from polar_tpu.kernels.trellis import tail_trellis, tail_syndrome_cols
+
+        self.kernel = np.asarray(kernel, np.uint8)
+        self.l = int(kernel.shape[0])
+        kb = self.kernel.tobytes()
+        self.backend, self.syn = [], []
+        for i in range(self.l):
+            tr = tail_trellis(kb, self.l, i)
+            if tr.s_max ** 2 < (1 << (self.l - 1 - i)):
+                self.backend.append("trellis")
+                self.syn.append(tail_syndrome_cols(kb, self.l, i))
+            else:
+                self.backend.append("table")
+                self.syn.append(None)
 
 
 def _traj_ops(program):
@@ -59,12 +96,17 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
     """Returns core(llrs [B, N] f32) -> (traj_bit [N, P, B] i8,
     traj_perm [Q, P, B] i32, pm [P, B] f32, spans) — the decode front end;
     feed to `scl_epilogue`. B must be a multiple of batch_tile."""
-    if any(f != 2 for f in spec.factors):
-        raise ValueError("pallas SCL kernel supports pure-Arikan factors")
     P = int(list_size)
     m = len(spec.factors)
     N = spec.N
     n_sizes = spec.block_sizes
+    factors = spec.factors
+    l_max = max(factors)
+    kernels_np = [np.asarray(k, np.uint8) for k in spec.kernels]
+    big = {s: _BigStage(kernels_np[s - 1]) for s in range(1, m + 1)
+           if factors[s - 1] > 2}
+    inv_kernels = ([k.astype(np.uint8) for k in staged_inverse_kernels(spec)]
+                   if big else None)
     program = build_program(spec, scl=(P > 1), classify=True,
                             fast_r1_scl=True)
     digits_np = np.asarray(build_digits(spec))
@@ -75,9 +117,9 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
 
     def kernel(llr_ref, bit_ref, perm_ref, pm_ref, *scratch):
         lam = list(scratch[:m])                 # lam[s]: [P, n_{s+1}, BT] f32
-        dec = list(scratch[m:2 * m])            # dec[s]: [2, P, n_{s+1}, BT] i8
+        dec = list(scratch[m:2 * m])    # dec[s]: [l_s, P, n_{s+1}, BT] i8
         rlam_ref = scratch[2 * m]               # [m, P, BT] i32
-        rdec_ref = scratch[2 * m + 1]           # [m, 2, P, BT] i32
+        rdec_ref = scratch[2 * m + 1]           # [m, l_max, P, BT] i32
 
         iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, BT), 0)
         iota2p = jax.lax.broadcasted_iota(jnp.int32, (2 * P, BT), 0)
@@ -90,7 +132,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             if P > 1 else jnp.zeros((P, BT), jnp.float32),
             "epoch": 0,
             "lam_ep": [-1] * m,
-            "dec_ep": [[-1, -1] for _ in range(m)],
+            "dec_ep": [[-1] * factors[s] for s in range(m)],
             "q": 0,
         }
 
@@ -177,46 +219,177 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             ctx["q"] = q + 1
 
         # ---- ops -------------------------------------------------------
+        def tree_fold(terms):
+            """Fixed pairwise-tree sum — same order as kernel_proc.tree_corr
+            so Mosaic and XLA produce bit-identical correlations."""
+            while len(terms) > 1:
+                nxt = [terms[k] + terms[k + 1]
+                       for k in range(0, len(terms) - 1, 2)]
+                if len(terms) % 2:
+                    nxt.append(terms[-1])
+                terms = nxt
+            return terms[0]
+
+        def down_big(s, i, prev):
+            """l>2 kernel-input-i LLR from the parent view prev
+            [P|1, l, n, BT] — mirrors StageProcessor._llr_static op-for-op
+            (coset sign folds exact in {0,1}; syndrome trellis float-equal
+            to the XLA minimal-trellis scan; table path shares the
+            tree_corr expression DAG)."""
+            bs = big[s]
+            l, n = bs.l, n_sizes[s]
+            K = bs.kernel
+            if i == 0:
+                lam_adj = [prev[:, k] for k in range(l)]
+            else:
+                children = [dec_child(s, j) for j in range(i)]  # 0/1 f32
+                lam_adj = []
+                for k in range(l):
+                    par = None
+                    for j in range(i):
+                        if K[j, k]:
+                            par = (children[j] if par is None
+                                   else jnp.abs(par - children[j]))
+                    lam_adj.append(prev[:, k] if par is None
+                                   else prev[:, k] * (1.0 - 2.0 * par))
+            if i == l - 1:   # single tail codeword: correlation with row i
+                return tree_fold([lam_adj[k] * float(K[i, k])
+                                  for k in range(l)])
+            if bs.backend[i] == "trellis":
+                S, cols = bs.syn[i]
+                sh = jnp.broadcast_shapes(*(a.shape for a in lam_adj))
+                zero = jnp.zeros((2,) + sh, jnp.float32)
+                inf = jnp.full((2,) + sh, INF, jnp.float32)
+                alpha = [zero if st == 0 else inf for st in range(S)]
+                for t in range(l):
+                    lam_t = lam_adj[t]
+                    flip = lam_t * -1.0 if K[i, t] else lam_t
+                    lam_t2 = jnp.stack([jnp.broadcast_to(lam_t, sh),
+                                        jnp.broadcast_to(flip, sh)])
+                    pen0 = jnp.maximum(-lam_t2, 0.0)
+                    pen1 = jnp.maximum(lam_t2, 0.0)
+                    c = cols[t]
+                    alpha = [jnp.minimum(alpha[st] + pen0,
+                                         alpha[st ^ c] + pen1)
+                             for st in range(S)]
+                cost = alpha[0]                       # [2, ..., n, BT]
+                return cost[1] - cost[0]
+            # table path: max-correlation over the 2^(l-1-i) tail
+            # codewords. Pallas kernels cannot capture array constants, so
+            # the +-1 columns are regenerated in-kernel from an iota (bit
+            # tests of the message index + parity folds over generator
+            # rows) — exactly the column order of kernel_proc._tail_table,
+            # and exact +-1.0 values, so the correlations stay
+            # bit-identical to the XLA tree_corr path.
+            d_free = l - 1 - i
+            C = 1 << d_free
+            nrow = int(np.prod(jnp.broadcast_shapes(
+                *(a.shape for a in lam_adj))[:-2]))
+            cc = max(1, min(C, _TERM_BUDGET // max(1, nrow * n * BT * 4)))
+            corr = [None, None]                       # running max per hyp
+            for h in range(2):
+                lam_h = (lam_adj if h == 0 else
+                         [lam_adj[j] * -1.0 if K[i, j] else lam_adj[j]
+                          for j in range(l)])
+                for c0 in range(0, C, cc):
+                    msg = jax.lax.broadcasted_iota(
+                        jnp.int32, (cc, 1, 1), 0) + c0
+                    gbits = [((msg >> g) & 1).astype(jnp.float32)
+                             for g in range(d_free)]
+                    terms = []
+                    for j in range(l):
+                        par = None
+                        for g in range(d_free):
+                            if K[i + 1 + g, j]:
+                                par = (gbits[g] if par is None
+                                       else jnp.abs(par - gbits[g]))
+                        terms.append(
+                            lam_h[j][:, None] if par is None
+                            else lam_h[j][:, None] * (1.0 - 2.0 * par))
+                    mx = jnp.max(tree_fold(terms), axis=1)
+                    corr[h] = mx if corr[h] is None \
+                        else jnp.maximum(corr[h], mx)
+            return 0.5 * (corr[0] - corr[1])
+
         def down(s, t0, fresh):
-            n = n_sizes[s]
+            l, n = factors[s - 1], n_sizes[s]
             if s == 1:
-                a = llr_ref[0:n, :][None]              # [1, n, BT]
-                b = llr_ref[n:2 * n, :][None]
+                prev = llr_ref[:].reshape(l, n, BT)[None]   # [1, l, n, BT]
             else:
                 if ctx["lam_ep"][s - 2] == ctx["epoch"]:
                     prev = lam[s - 2][:]
                 else:
                     prev = pgather(lam[s - 2][:], rlam_ref[s - 2])
-                a, b = prev[:, 0:n, :], prev[:, n:2 * n, :]
-            if fresh:
-                # exact f_minsum convention: sign(0) == +1 (arikan.py)
-                sgn = jnp.where((a < 0) ^ (b < 0), -1.0, 1.0)
-                out = sgn * jnp.minimum(jnp.abs(a), jnp.abs(b))
+                prev = prev.reshape(prev.shape[0], l, n, BT)
+            if l == 2:
+                a, b = prev[:, 0], prev[:, 1]
+                if fresh:
+                    # exact f_minsum convention: sign(0) == +1 (arikan.py)
+                    sgn = jnp.where((a < 0) ^ (b < 0), -1.0, 1.0)
+                    out = sgn * jnp.minimum(jnp.abs(a), jnp.abs(b))
+                else:
+                    u0 = dec_child(s, 0)
+                    out = b + (1.0 - 2.0 * u0) * a
             else:
-                u0 = dec_child(s, 0)
-                out = b + (1.0 - 2.0 * u0) * a
+                i = 0 if fresh else int(digits_np[t0, s - 1])
+                out = down_big(s, i, prev)
             lam[s - 1][:] = jnp.broadcast_to(out, (P, n, BT))
             rlam_ref[s - 1] = iota_p
             ctx["lam_ep"][s - 1] = ctx["epoch"]
 
         def up(s, t0):
-            u0 = dec_child(s, 0)
-            u1 = dec_child(s, 1)
-            x = jnp.concatenate([jnp.abs(u0 - u1), u1], axis=1)  # f32 XOR
+            l = factors[s - 1]
+            if l == 2:
+                u0 = dec_child(s, 0)
+                u1 = dec_child(s, 1)
+                x = jnp.concatenate([jnp.abs(u0 - u1), u1], axis=1)  # XOR
+            else:
+                K = kernels_np[s - 1]
+                ch = [dec_child(s, j) for j in range(l)]
+                cols = []
+                for k in range(l):
+                    par = None
+                    for j in range(l):
+                        if K[j, k]:
+                            par = ch[j] if par is None \
+                                else jnp.abs(par - ch[j])
+                    cols.append(par if par is not None
+                                else jnp.zeros_like(ch[0]))
+                x = jnp.concatenate(cols, axis=1)
             write_dec(s - 1, t0, x)
 
         def apply_inverse(d, x):
-            """u = x @ F^{-kron}: butterfly XORs on 0/1 f32, [P, n, BT]
-            (kept <= 5-D for Mosaic; same axis order as ops/scl.py)."""
+            """u = x @ (K_{d+1} kron .. kron K_m)^-1 on 0/1 f32 [P, n, BT]
+            (kept <= 5-D for Mosaic; same math as ops/scl.py)."""
             n = x.shape[1]
-            h = n // 2
-            while h >= 1:
-                t = x.reshape(P, n // (2 * h), 2, h, BT)
-                x0 = t[:, :, 0:1]
-                x1 = t[:, :, 1:2]
-                x = jnp.concatenate([jnp.abs(x0 - x1), x1],
-                                    axis=2).reshape(P, n, BT)
-                h //= 2
+            below = factors[d:]
+            if all(f == 2 for f in below):
+                h = n // 2
+                while h >= 1:
+                    t = x.reshape(P, n // (2 * h), 2, h, BT)
+                    x0 = t[:, :, 0:1]
+                    x1 = t[:, :, 1:2]
+                    x = jnp.concatenate([jnp.abs(x0 - x1), x1],
+                                        axis=2).reshape(P, n, BT)
+                    h //= 2
+                return x
+            pre = 1
+            for ax, s in enumerate(range(d, m)):
+                lf = factors[s]
+                post = n // (pre * lf)
+                t = x.reshape(P, pre, lf, post, BT)
+                ki = inv_kernels[s]
+                cols = []
+                for kk in range(lf):
+                    par = None
+                    for j in range(lf):
+                        if ki[j, kk]:
+                            xj = t[:, :, j:j + 1]
+                            par = xj if par is None else jnp.abs(par - xj)
+                    cols.append(par if par is not None
+                                else jnp.zeros_like(t[:, :, 0:1]))
+                x = jnp.concatenate(cols, axis=2).reshape(P, n, BT)
+                pre *= lf
             return x
 
         def node_r0(d, t0):
@@ -368,10 +541,10 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
 
     scratch_shapes = (
         [pltpu.VMEM((P, n_sizes[s], BT), jnp.float32) for s in range(1, m + 1)]
-        + [pltpu.VMEM((2, P, n_sizes[s], BT), jnp.int8)
+        + [pltpu.VMEM((factors[s - 1], P, n_sizes[s], BT), jnp.int8)
            for s in range(1, m + 1)]
         + [pltpu.VMEM((m, P, BT), jnp.int32),
-           pltpu.VMEM((m, 2, P, BT), jnp.int32)]
+           pltpu.VMEM((m, l_max, P, BT), jnp.int32)]
     )
 
     def core(llrs: jnp.ndarray):

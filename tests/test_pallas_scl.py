@@ -35,9 +35,33 @@ def test_pallas_matches_xla(N, K, L, crc):
         assert np.allclose(a, b), f
 
 
-def test_pallas_rejects_non_arikan():
-    from polar_tpu.construction.montecarlo import construct_mc
-    mask = tuple(int(v) for v in construct_mc((16, 2), 16, 2.0, frames=512))
-    spec = CodeSpec(N=32, K=16, factors=(16, 2), frozen_mask=mask)
-    with pytest.raises(ValueError):
-        build_pallas_scl_decoder(spec, 4)
+def _mixed_spec(factors, K, crc, seed=1):
+    """Deterministic cheap mask (reliability-by-index + jitter): the
+    kernel-processing paths under test are mask-independent."""
+    N = int(np.prod(factors))
+    r = np.random.default_rng(seed)
+    nk = K + (crc.width if crc else 0)
+    mask = np.ones(N, np.uint8)
+    mask[np.argsort(r.random(N) + np.linspace(0, 1, N))[-nk:]] = 0
+    return CodeSpec(N=N, K=K, factors=tuple(factors),
+                    frozen_mask=tuple(int(v) for v in mask), crc=crc)
+
+
+@pytest.mark.parametrize("factors,K,L,crc", [
+    ((16,), 6, 1, None),                       # pure eBCH kernel, SC
+    ((16, 2), 12, 1, None),                    # BCH-major mixed, SC
+    ((2, 16), 10, 4, CrcSpec(8, 0x07, 0)),     # Arikan-major mixed, CA-SCL
+    ((16, 2, 2), 20, 8, CrcSpec(8, 0x07, 0)),  # mixed_scl32 shape, CA-SCL
+])
+def test_pallas_matches_xla_mixed(factors, K, L, crc):
+    """VERDICT r1 item 2: BCH/mixed kernels inside the Pallas mega-kernel
+    (syndrome-trellis + in-kernel tail tables) must be bit-identical to
+    the XLA path — including path metrics, not just hard decisions."""
+    spec = _mixed_spec(factors, K, crc)
+    llr = 2.0 * jax.random.normal(jax.random.key(spec.N + L),
+                                  (128, spec.N), jnp.float32)
+    ref = jax.jit(build_scl_decoder(spec, L))(llr)
+    out = build_pallas_scl_decoder(spec, L, interpret=True)(llr)
+    for f in ("u", "payload", "crc_ok", "pm"):
+        a, b = np.asarray(getattr(out, f)), np.asarray(getattr(ref, f))
+        assert np.array_equal(a, b), f
