@@ -56,8 +56,9 @@ def load_golden(path: str | pathlib.Path):
     return spec, int(z["list_size"]), z["llrs"], z["u_ref"]
 
 
-def replay_check(path: str | pathlib.Path, **decoder_kwargs) -> dict:
-    """Replay a golden record through the device decoder.
+def replay_check(path: str | pathlib.Path, backend: str = "xla",
+                 **decoder_kwargs) -> dict:
+    """Replay a golden record through a device decoder backend.
 
     Returns {"frames", "mismatch_frames", "mismatch_bits"}; bit-match holds
     iff mismatch_frames == 0.
@@ -65,10 +66,14 @@ def replay_check(path: str | pathlib.Path, **decoder_kwargs) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from polar_tpu.ops.scl import build_scl_decoder
-
     spec, list_size, llrs, u_ref = load_golden(path)
-    dec = jax.jit(build_scl_decoder(spec, list_size, **decoder_kwargs))
+    if backend == "pallas":
+        from polar_tpu.ops.pallas_scl import build_pallas_scl_decoder
+        dec = jax.jit(build_pallas_scl_decoder(spec, list_size,
+                                               **decoder_kwargs))
+    else:
+        from polar_tpu.ops.scl import build_scl_decoder
+        dec = jax.jit(build_scl_decoder(spec, list_size, **decoder_kwargs))
     out = np.asarray(dec(jnp.asarray(llrs, jnp.float32)).u)
     mism = out != u_ref
     return {

@@ -45,6 +45,21 @@ def test_native_matches_numpy_oracle(factors, K, L, crc):
         assert np.array_equal(got[i], ref), i
 
 
+def test_flagship_golden_replay():
+    """Replay the committed flagship-scale golden record (N=1024 K=512+CRC16
+    SCL-8, BASELINE config 2): 256 mixed-SNR frames (incl. 43 erroneous ones
+    that stress SURVEY.md §2.3 tie-breaking) recorded from the native C++
+    golden decoder by scripts/flagship_golden.py. Both device backends
+    bit-match it on the real chip (see RESULTS.md); this guards the XLA
+    backend on CPU."""
+    import pathlib
+    rec = (pathlib.Path(__file__).resolve().parents[1] / "results" /
+           "golden_ca_scl_b256.npz")
+    res = replay_check(rec)
+    assert res["frames"] == 256
+    assert res["mismatch_frames"] == 0, res
+
+
 def test_record_replay_bitmatch(tmp_path):
     spec = _spec((2, 2, 2, 2, 2), 12, CrcSpec(width=8, poly=0x07))
     rng = np.random.default_rng(9)
