@@ -29,6 +29,8 @@ def main(argv=None):
     p.add_argument("--backend", choices=("xla", "pallas"), default="xla")
     p.add_argument("--list-size", type=int, default=None)
     p.add_argument("--llr-dtype", default="float32")
+    p.add_argument("--batch-tile", type=int, default=128,
+                   help="pallas backend: lanes per kernel invocation")
     args = p.parse_args(argv)
 
     import jax
@@ -44,7 +46,8 @@ def main(argv=None):
     L = args.list_size or preset.list_size
     if args.backend == "pallas":
         from polar_tpu.ops.pallas_scl import build_pallas_scl_decoder
-        decode = build_pallas_scl_decoder(spec, L)
+        decode = build_pallas_scl_decoder(spec, L,
+                                          batch_tile=args.batch_tile)
     else:
         from polar_tpu.ops.scl import build_scl_decoder
         decode = build_scl_decoder(spec, L,
@@ -72,6 +75,7 @@ def main(argv=None):
     dt = (time.perf_counter() - t0 - base) / args.reps
     print(json.dumps({
         "preset": args.preset, "backend": args.backend, "batch": B,
+        "batch_tile": args.batch_tile if args.backend == "pallas" else None,
         "list_size": L, "ms_per_decode": round(dt * 1e3, 3),
         "codewords_per_s": round(B / dt, 1),
         "compile_s": round(compile_s, 1),

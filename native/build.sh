@@ -2,5 +2,5 @@
 # Build the native golden decoder shared library.
 set -e
 cd "$(dirname "$0")"
-g++ -O2 -shared -fPIC -std=c++17 -o libpolar_ref.so polar_ref.cpp
+g++ -O2 -shared -fPIC -fopenmp -std=c++17 -o libpolar_ref.so polar_ref.cpp
 echo "built $(pwd)/libpolar_ref.so"

@@ -261,6 +261,8 @@ void ref_encode(void* h, const uint8_t* u, int batch, uint8_t* x_out) {
 void ref_decode_scl(void* h, const double* llrs, int batch, int L,
                     uint8_t* u_out) {
     Code* c = static_cast<Code*>(h);
+    // frames are independent; decode_one only reads *c
+#pragma omp parallel for schedule(dynamic)
     for (int b = 0; b < batch; ++b)
         decode_one(*c, llrs + (size_t)b * c->N, L,
                    u_out + (size_t)b * c->N);

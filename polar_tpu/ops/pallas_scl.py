@@ -61,6 +61,28 @@ from polar_tpu.ops.program import build_program, staged_inverse_kernels
 BIG = np.float32(1e30)
 INF = np.float32(3e38) / 4          # kernels/trellis.INF (min-plus padding)
 _TERM_BUDGET = 8 * 1024 * 1024      # max bytes per table-correlation chunk
+VMEM_BUDGET = 16 * 2**20            # ~VMEM/core (pallas_guide.md); the
+# empirical envelope: flagship bt=128 (~9 MiB) compiles, bt=256 and
+# mixed_scl32 bt=128 (46 MiB) die in Mosaic scratch allocation.
+
+
+def vmem_footprint(spec: CodeSpec, list_size: int, batch_tile: int,
+                   Q: int) -> dict:
+    """Exact bytes of the kernel's VMEM-resident blocks at one batch tile
+    (mirrors scratch_shapes + block specs below). Q = number of
+    trajectory spans (len of `spans` returned by build_pallas_scl_kernel)."""
+    P, BT = int(list_size), int(batch_tile)
+    m = len(spec.factors)
+    ns = spec.block_sizes
+    lam = sum(P * ns[s] * BT * 4 for s in range(1, m + 1))
+    dec = sum(spec.factors[s - 1] * P * ns[s] * BT for s in range(1, m + 1))
+    rmaps = m * P * BT * 4 + m * max(spec.factors) * P * BT * 4
+    io = (spec.N * BT * 4          # llr in-block
+          + spec.N * P * BT        # traj_bit out-block (i8)
+          + Q * P * BT * 4         # traj_perm out-block
+          + P * BT * 4)            # pm out-block
+    return {"lam": lam, "dec": dec, "rmaps": rmaps, "io": io,
+            "total": lam + dec + rmaps + io}
 
 
 class _BigStage:
@@ -103,10 +125,6 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
     factors = spec.factors
     l_max = max(factors)
     kernels_np = [np.asarray(k, np.uint8) for k in spec.kernels]
-    big = {s: _BigStage(kernels_np[s - 1]) for s in range(1, m + 1)
-           if factors[s - 1] > 2}
-    inv_kernels = ([k.astype(np.uint8) for k in staged_inverse_kernels(spec)]
-                   if big else None)
     program = build_program(spec, scl=(P > 1), classify=True,
                             fast_r1_scl=True)
     digits_np = np.asarray(build_digits(spec))
@@ -114,6 +132,35 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
     spans = [(t0, n_sizes[lvl]) for (t0, lvl, _) in _traj_ops(program)]
     Q = len(spans)
     BT = int(batch_tile)
+
+    # batch_tile > 128 dies in Mosaic's ApplyVectorLayoutPass
+    # (vector_extract_rule -> Array::Slice "limits[i] <= dim(i) (2 vs 1)",
+    # measured on chip 2026-08-20, see RESULTS.md): kernel blocks spanning
+    # two lane-tiles hit an unimplemented extract-slice layout, regardless
+    # of VMEM footprint. Fail informatively at build time.
+    if BT > 128 and not interpret:
+        raise ValueError(
+            f"batch_tile={BT} > 128 is rejected by Mosaic's vector layout "
+            "pass (extract-slice across >1 lane-tile); use batch_tile=128")
+
+    # VMEM envelope guard (VERDICT r2 item 5): fail informatively at build
+    # time instead of deep inside Mosaic scratch allocation. Interpret mode
+    # runs on host memory, so the envelope does not apply there.
+    fp = vmem_footprint(spec, P, BT, Q)
+    if fp["total"] > VMEM_BUDGET and not interpret:
+        raise ValueError(
+            f"pallas SCL kernel for (N={spec.N}, L={P}, batch_tile={BT}) "
+            f"needs {fp['total'] / 2**20:.1f} MiB of VMEM per tile "
+            f"(budget ~{VMEM_BUDGET / 2**20:.0f} MiB; breakdown MiB: "
+            + ", ".join(f"{k}={v / 2**20:.1f}" for k, v in fp.items()
+                        if k != "total")
+            + ") — use backend='xla', a smaller list size, or a smaller "
+            "batch_tile")
+
+    big = {s: _BigStage(kernels_np[s - 1]) for s in range(1, m + 1)
+           if factors[s - 1] > 2}
+    inv_kernels = ([k.astype(np.uint8) for k in staged_inverse_kernels(spec)]
+                   if big else None)
 
     def kernel(llr_ref, bit_ref, perm_ref, pm_ref, *scratch):
         lam = list(scratch[:m])                 # lam[s]: [P, n_{s+1}, BT] f32

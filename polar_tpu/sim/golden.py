@@ -23,9 +23,17 @@ from polar_tpu.models.polar import CodeSpec, CrcSpec
 
 def record_golden(spec: CodeSpec, list_size: int, llrs: np.ndarray,
                   path: str | pathlib.Path) -> np.ndarray:
-    """Decode llrs with the native golden decoder and write a record."""
+    """Decode llrs with the native golden decoder and write a record.
+
+    LLRs are rounded to float32 before the native decode (VERDICT r2
+    weak 7): the device replay runs in float32, so recording on exactly
+    float32-representable values guarantees the two decoders see
+    bit-identical inputs — no tie-adjacent LLR can flip a decision in
+    the f64→f32 quantization.
+    """
     from polar_tpu.native import NativeGolden
 
+    llrs = np.asarray(llrs, np.float64).astype(np.float32).astype(np.float64)
     golden = NativeGolden(spec)
     u_ref = golden.decode(llrs, list_size)
     np.savez_compressed(
@@ -67,6 +75,8 @@ def replay_check(path: str | pathlib.Path, backend: str = "xla",
     import jax.numpy as jnp
 
     spec, list_size, llrs, u_ref = load_golden(path)
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}; use 'xla' or 'pallas'")
     if backend == "pallas":
         from polar_tpu.ops.pallas_scl import build_pallas_scl_decoder
         dec = jax.jit(build_pallas_scl_decoder(spec, list_size,

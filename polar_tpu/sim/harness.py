@@ -135,11 +135,21 @@ def run_sweep(preset: Preset, frames: int | None = None,
               mesh=None, state_path: str | None = None,
               jsonl_path: str | None = None, min_frame_errors: int = 0,
               progress: bool = True, steps_per_call: int = 1,
-              backend: str = "xla", interpret: bool = False) -> list[dict]:
+              backend: str = "xla", interpret: bool = False,
+              pipeline_depth: int = 2) -> list[dict]:
     """Run the Monte-Carlo FER sweep for a preset. Returns per-SNR records.
 
     min_frame_errors: optional early-stop once a SNR point has this many
     frame errors AND at least frames/10 frames (bounded-relative-error MC).
+
+    pipeline_depth: number of super-batches kept in flight before the
+    host fetches counters. JAX dispatch is async; fetching a step's
+    counters immediately serializes every host->device round-trip
+    (~100 ms through the remote TPU tunnel) with the device compute.
+    Keeping `pipeline_depth` dispatches outstanding overlaps the
+    round-trip with decode (VERDICT r2 item 4). Counters are fetched (and
+    sweep state persisted) strictly in dispatch order, so resume
+    semantics are unchanged; 1 restores the fetch-every-step behavior.
     """
     mesh = mesh or make_batch_mesh()
     n_dev = mesh.devices.size
@@ -176,13 +186,12 @@ def run_sweep(preset: Preset, frames: int | None = None,
         key = jax.random.fold_in(jax.random.key(state.seed), si)
         t0 = time.time()
         t_frames = 0
-        while state.frames[si] < frames:
-            if (min_frame_errors and
-                    state.frame_errors[si] >= min_frame_errors and
-                    state.frames[si] >= frames // 10):
-                break
-            out = step(jax.random.fold_in(key, state.rng_step[si]),
-                       {"sigma": jnp.float32(sigma)})
+        frames_per_call = global_batch * steps_per_call
+        pending: list = []     # dispatched-but-unfetched outs, FIFO
+
+        def fetch_one():
+            nonlocal t_frames
+            out = pending.pop(0)
             state.rng_step[si] += 1
             state.frames[si] += int(out["frames"])
             state.frame_errors[si] += int(out["frame_errors"])
@@ -190,6 +199,21 @@ def run_sweep(preset: Preset, frames: int | None = None,
             t_frames += int(out["frames"])
             if spath:
                 state.save(spath)
+
+        while True:
+            done = state.frames[si] + len(pending) * frames_per_call
+            early = (min_frame_errors and
+                     state.frame_errors[si] >= min_frame_errors and
+                     state.frames[si] >= frames // 10)
+            if done >= frames or early:
+                break
+            pending.append(step(
+                jax.random.fold_in(key, state.rng_step[si] + len(pending)),
+                {"sigma": jnp.float32(sigma)}))
+            if len(pending) >= max(1, pipeline_depth):
+                fetch_one()
+        while pending:
+            fetch_one()
         dt = max(time.time() - t0, 1e-9)
         n, fe, be = state.frames[si], state.frame_errors[si], state.bit_errors[si]
         lo, hi = wilson_ci(fe, n)

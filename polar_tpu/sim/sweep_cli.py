@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--backend", choices=("xla", "pallas"), default="xla",
                    help="decoder backend: pallas = VMEM-resident mega-"
                         "kernel (ops/pallas_scl.py), ~2x the XLA rate")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="super-batches in flight before fetching counters "
+                        "(overlaps the host round-trip with decode; "
+                        "1 = fetch every step)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the steady-state "
                         "sweep into DIR (view with XProf/Perfetto)")
@@ -65,7 +69,8 @@ def main(argv=None):
 
         run_sweep(preset, frames=1, per_device_batch=args.per_device_batch,
                   seed=args.seed, progress=False,
-                  steps_per_call=args.steps_per_call, backend=args.backend)
+                  steps_per_call=args.steps_per_call, backend=args.backend,
+                  pipeline_depth=args.pipeline_depth)
         with jax.profiler.trace(args.profile):
             recs = run_sweep(preset, frames=args.frames,
                              per_device_batch=args.per_device_batch,
@@ -73,7 +78,8 @@ def main(argv=None):
                              state_path=args.state,
                              min_frame_errors=args.min_frame_errors,
                              steps_per_call=args.steps_per_call,
-                             backend=args.backend)
+                             backend=args.backend,
+                             pipeline_depth=args.pipeline_depth)
     else:
         recs = run_sweep(preset, frames=args.frames,
                          per_device_batch=args.per_device_batch,
@@ -81,7 +87,8 @@ def main(argv=None):
                          state_path=args.state, jsonl_path=args.jsonl,
                          min_frame_errors=args.min_frame_errors,
                          steps_per_call=args.steps_per_call,
-                         backend=args.backend)
+                         backend=args.backend,
+                         pipeline_depth=args.pipeline_depth)
     print(json.dumps({"summary": [
         {"ebn0_db": r["ebn0_db"], "fer": r["fer"], "ber": r["ber"],
          "frames": r["frames"]} for r in recs]}))

@@ -65,3 +65,17 @@ def test_pallas_matches_xla_mixed(factors, K, L, crc):
     for f in ("u", "payload", "crc_ok", "pm"):
         a, b = np.asarray(getattr(out, f)), np.asarray(getattr(ref, f))
         assert np.array_equal(a, b), f
+
+
+def test_vmem_envelope_guard():
+    """VERDICT r2 item 5: configs beyond the VMEM tile budget must fail at
+    build time with an informative error, not a Mosaic scratch error.
+    mixed_scl32 (N=4096, L=32) needs ~46 MiB/tile — documented unsupported."""
+    from polar_tpu.models.presets import get_preset
+    from polar_tpu.ops.pallas_scl import build_pallas_scl_kernel
+
+    preset = get_preset("mixed_scl32")
+    with pytest.raises(ValueError, match="VMEM"):
+        build_pallas_scl_kernel(preset.spec, preset.list_size)
+    # interpret mode runs on host memory: same config must still build
+    build_pallas_scl_kernel(preset.spec, preset.list_size, interpret=True)
