@@ -22,7 +22,11 @@ def _ga_spec(n_stages, K, crc=None):
                     crc=crc)
 
 
-@pytest.mark.parametrize("L", [1, 4, 8])
+@pytest.mark.parametrize("L", [
+    1,
+    pytest.param(4, marks=pytest.mark.slow),
+    pytest.param(8, marks=pytest.mark.slow),
+])
 def test_fast_equals_leafwise(L):
     spec = _ga_spec(8, 128)
     # make sure the program actually contains big special nodes

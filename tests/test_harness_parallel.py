@@ -22,6 +22,7 @@ def _tiny_preset(crc=True):
     return Preset("tiny", spec, 4, (1.0, 4.0), 1 << 11, 1 << 9)
 
 
+@pytest.mark.slow
 def test_sharded_counters_match_single_device():
     """psum'd sharded counters == single-device counters on the same keys."""
     preset = _tiny_preset()
@@ -70,6 +71,7 @@ def test_wilson_ci():
     assert wilson_ci(0, 0) == (0.0, 1.0)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
@@ -82,6 +84,7 @@ def test_entry_compiles():
     assert int(out["frames"]) == 64
 
 
+@pytest.mark.slow
 def test_pallas_backend_matches_xla_counters():
     """harness backend="pallas" produces identical counters to the XLA
     backend on the same keys (both decoders are bit-identical)."""

@@ -45,6 +45,7 @@ def test_native_matches_numpy_oracle(factors, K, L, crc):
         assert np.array_equal(got[i], ref), i
 
 
+@pytest.mark.slow
 def test_flagship_golden_replay():
     """Replay the committed flagship-scale golden record (N=1024 K=512+CRC16
     SCL-8, BASELINE config 2): 256 mixed-SNR frames (incl. 43 erroneous ones

@@ -21,7 +21,8 @@ def _spec(N, K, crc):
 
 @pytest.mark.parametrize("N,K,L,crc", [
     (64, 28, 4, CrcSpec(8, 0x07, 0)),
-    (128, 56, 8, CrcSpec(16, 0x1021, 0)),
+    pytest.param(128, 56, 8, CrcSpec(16, 0x1021, 0),
+                 marks=pytest.mark.slow),
     (128, 64, 1, None),
 ])
 def test_pallas_matches_xla(N, K, L, crc):
@@ -50,8 +51,10 @@ def _mixed_spec(factors, K, crc, seed=1):
 @pytest.mark.parametrize("factors,K,L,crc", [
     ((16,), 6, 1, None),                       # pure eBCH kernel, SC
     ((16, 2), 12, 1, None),                    # BCH-major mixed, SC
-    ((2, 16), 10, 4, CrcSpec(8, 0x07, 0)),     # Arikan-major mixed, CA-SCL
-    ((16, 2, 2), 20, 8, CrcSpec(8, 0x07, 0)),  # mixed_scl32 shape, CA-SCL
+    pytest.param((2, 16), 10, 4, CrcSpec(8, 0x07, 0),
+                 marks=pytest.mark.slow),      # Arikan-major mixed, CA-SCL
+    pytest.param((16, 2, 2), 20, 8, CrcSpec(8, 0x07, 0),
+                 marks=pytest.mark.slow),      # mixed_scl32 shape, CA-SCL
 ])
 def test_pallas_matches_xla_mixed(factors, K, L, crc):
     """VERDICT r1 item 2: BCH/mixed kernels inside the Pallas mega-kernel
