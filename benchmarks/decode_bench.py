@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--llr-dtype", default="float32")
     p.add_argument("--batch-tile", type=int, default=128,
                    help="pallas backend: lanes per kernel invocation")
+    p.add_argument("--big-stage", choices=("xla", "pallas"), default="xla",
+                   help="xla backend: l>2 kernel-input LLR backend "
+                        "(pallas = hybrid VMEM-resident stage kernels)")
     args = p.parse_args(argv)
 
     import jax
@@ -51,7 +54,8 @@ def main(argv=None):
     else:
         from polar_tpu.ops.scl import build_scl_decoder
         decode = build_scl_decoder(spec, L,
-                                   llr_dtype=jnp.dtype(args.llr_dtype))
+                                   llr_dtype=jnp.dtype(args.llr_dtype),
+                                   big_stage_backend=args.big_stage)
 
     @jax.jit
     def many(llr, n):

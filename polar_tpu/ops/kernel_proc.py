@@ -75,9 +75,15 @@ class StageProcessor:
     true sum-product marginals: boxplus for the 2x2 kernel, logsumexp
     over the full coset tables for large kernels (tables for every i;
     correctness/bit-match path, not a throughput path).
+
+    pallas_big: run the l>2 trellis/table input LLRs as standalone
+    Pallas kernels with VMEM-resident state (ops/pallas_stage.py) —
+    bit-identical, far less HBM traffic; requires batch % 128 == 0 on a
+    real TPU (pallas_interpret=True for CPU tests).
     """
 
-    def __init__(self, kernel: np.ndarray, f_mode: str = "minsum"):
+    def __init__(self, kernel: np.ndarray, f_mode: str = "minsum",
+                 pallas_big: bool = False, pallas_interpret: bool = False):
         # All static tables stay host-side numpy: jnp closure constants that
         # live on a remote-tunnelled TPU device cost a blocking device fetch
         # *per constant* at MLIR lowering time; numpy constants embed free.
@@ -86,6 +92,8 @@ class StageProcessor:
         self.kernel = np.asarray(kernel, dtype=np.uint8)
         self.l = int(kernel.shape[0])
         self.f_mode = f_mode
+        self.pallas_big = pallas_big and self.l > 2 and f_mode == "minsum"
+        self.pallas_interpret = pallas_interpret
         self.k_f32 = self.kernel.astype(np.float32)
         self.row_signs = 1.0 - 2.0 * self.kernel.astype(np.float32)
         if self.l > 2 and f_mode == "exact":
@@ -95,7 +103,8 @@ class StageProcessor:
             self.backend = ["table"] * self.l
             self.tables = [_tail_table(self.kernel, i) for i in range(self.l)]
         elif self.l > 2:
-            from polar_tpu.kernels.trellis import tail_trellis
+            from polar_tpu.kernels.trellis import (tail_syndrome_cols,
+                                                   tail_trellis)
 
             kb = self.kernel.tobytes()
             self.trellises = [tail_trellis(kb, self.l, i)
@@ -111,6 +120,15 @@ class StageProcessor:
             self.tables = [None if self.backend[i] == "trellis"
                            else _tail_table(self.kernel, i)
                            for i in range(self.l)]
+            # trellis-backend inputs run as a *syndrome* trellis: identical
+            # reachable-state partition, so float-identical costs to the
+            # minimal-trellis pass (kernels/trellis.syndrome_min_cost;
+            # relied on by the Pallas-vs-XLA bitwise tests), but O(S) work
+            # per section instead of the O(S^2) dense min-plus product —
+            # profiled 42% of the mixed_scl32 decode before the switch.
+            self.syn = [tail_syndrome_cols(kb, self.l, i)
+                        if self.backend[i] == "trellis" else None
+                        for i in range(self.l)]
 
     # ---- coset handling -------------------------------------------------
 
@@ -191,6 +209,14 @@ class StageProcessor:
         if i == self.l - 1:  # single tail codeword: plain correlation diff
             row = self.kernel[i].astype(np.float32).reshape(self.l, 1)
             return tree_corr(lam_adj, row)[..., 0, :, :]
+        if self.pallas_big:
+            from polar_tpu.ops.pallas_stage import build_down_kernel
+
+            p0, _, n, b = lam_adj.shape
+            fn = build_down_kernel(self.kernel, i, p0, n,
+                                   batch_tile=min(128, b),
+                                   interpret=self.pallas_interpret)
+            return fn(lam_adj)
         both = jnp.stack(
             [lam_adj,
              lam_adj * jnp.asarray(self.row_signs[i],
@@ -199,9 +225,10 @@ class StageProcessor:
             lse = self._lsecorr(both, i)   # [2, P, n, B]
             return (lse[0] - lse[1]).astype(lam_adj.dtype)
         if self.backend[i] == "trellis":
-            from polar_tpu.kernels.trellis import min_path_cost
+            from polar_tpu.kernels.trellis import syndrome_min_cost
 
-            cost = min_path_cost(self.trellises[i], both)  # [2, P, n, B]
+            S, cols = self.syn[i]
+            cost = syndrome_min_cost(S, cols, both)        # [2, P, n, B]
             return cost[1] - cost[0]
         corr = self._maxcorr(both, i)  # [2, P, n, B]
         return 0.5 * (corr[0] - corr[1])

@@ -166,7 +166,9 @@ def finalize(spec: CodeSpec, P: int, u_all, payload_all, pm) -> DecodeResult:
 def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
                       fast: bool = True, fast_r1_scl: bool = True,
                       llr_dtype=jnp.float32, unroll: bool = True,
-                      f_mode: str = "minsum", pm_mode: str = "abs"):
+                      f_mode: str = "minsum", pm_mode: str = "abs",
+                      big_stage_backend: str = "xla",
+                      pallas_interpret: bool = False):
     """Returns decode(llrs: [B, N] f32) -> DecodeResult. Jit the result.
 
     fast: use the pruned fast-SSC(L) node program (exact; see
@@ -192,6 +194,13 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
     Balatsoukas-Stimming metric). Either non-default knob disables the
     fast-SSC(L) node shortcuts (they rely on the min-sum/abs telescoping
     identity) — the decoder falls back to the leaf-sequential program.
+
+    big_stage_backend: "xla" or "pallas" — how l>2 kernel-input LLRs are
+    computed. "pallas" runs each trellis/table DOWN op as a standalone
+    VMEM-resident Pallas kernel (ops/pallas_stage.py; bit-identical, the
+    hybrid fast path for configs beyond the mega-kernel's VMEM envelope
+    such as mixed_scl32). Requires batch % 128 == 0 on a real TPU;
+    pallas_interpret=True runs those kernels interpreted (CPU tests).
     """
     if genie and list_size != 1:
         raise ValueError("genie mode requires list_size=1")
@@ -201,8 +210,13 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         fast = False  # node shortcuts assume min-sum/abs telescoping
     m = len(spec.factors)
     P = int(list_size)
+    if big_stage_backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown big_stage_backend {big_stage_backend!r}")
     sched = build_schedule(spec)
-    procs = [StageProcessor(k, f_mode=f_mode) for k in spec.kernels]
+    procs = [StageProcessor(k, f_mode=f_mode,
+                            pallas_big=(big_stage_backend == "pallas"),
+                            pallas_interpret=pallas_interpret)
+             for k in spec.kernels]
     inv_kernels = staged_inverse_kernels(spec)
     n_sizes = spec.block_sizes
     factors = spec.factors

@@ -34,7 +34,8 @@ from polar_tpu.sim.channel import ebn0_to_sigma
 
 
 def make_mc_step(spec: CodeSpec, list_size: int, steps_per_call: int = 1,
-                 backend: str = "xla", interpret: bool = False):
+                 backend: str = "xla", interpret: bool = False,
+                 big_stage_backend: str = "xla"):
     """Per-shard Monte-Carlo step: key, (sigma,) -> counter dict.
 
     steps_per_call > 1 chains that many independent batches inside one
@@ -52,7 +53,9 @@ def make_mc_step(spec: CodeSpec, list_size: int, steps_per_call: int = 1,
         decode = build_pallas_scl_decoder(spec, list_size,
                                           interpret=interpret)
     elif backend == "xla":
-        decode = build_scl_decoder(spec, list_size)
+        decode = build_scl_decoder(spec, list_size,
+                                   big_stage_backend=big_stage_backend,
+                                   pallas_interpret=interpret)
     else:
         raise ValueError(f"unknown decode backend {backend!r}")
     K = spec.K
@@ -136,6 +139,7 @@ def run_sweep(preset: Preset, frames: int | None = None,
               jsonl_path: str | None = None, min_frame_errors: int = 0,
               progress: bool = True, steps_per_call: int = 1,
               backend: str = "xla", interpret: bool = False,
+              big_stage_backend: str = "xla",
               pipeline_depth: int = 2) -> list[dict]:
     """Run the Monte-Carlo FER sweep for a preset. Returns per-SNR records.
 
@@ -159,7 +163,8 @@ def run_sweep(preset: Preset, frames: int | None = None,
 
     raw_step = make_mc_step(preset.spec, preset.list_size,
                             steps_per_call=steps_per_call, backend=backend,
-                            interpret=interpret)
+                            interpret=interpret,
+                            big_stage_backend=big_stage_backend)
     if n_dev == 1:
         # single chip: no collective needed — and the axon remote-TPU
         # plugin hangs on shard_map/psum, so don't route through it

@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--backend", choices=("xla", "pallas"), default="xla",
                    help="decoder backend: pallas = VMEM-resident mega-"
                         "kernel (ops/pallas_scl.py), ~2x the XLA rate")
+    p.add_argument("--big-stage", choices=("xla", "pallas"), default="xla",
+                   help="xla backend: l>2 kernel-input LLR backend "
+                        "(pallas = hybrid VMEM-resident stage kernels, "
+                        "the fast path for mixed/BCH configs)")
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="super-batches in flight before fetching counters "
                         "(overlaps the host round-trip with decode; "
@@ -70,6 +74,7 @@ def main(argv=None):
         run_sweep(preset, frames=1, per_device_batch=args.per_device_batch,
                   seed=args.seed, progress=False,
                   steps_per_call=args.steps_per_call, backend=args.backend,
+                  big_stage_backend=args.big_stage,
                   pipeline_depth=args.pipeline_depth)
         with jax.profiler.trace(args.profile):
             recs = run_sweep(preset, frames=args.frames,
@@ -79,6 +84,7 @@ def main(argv=None):
                              min_frame_errors=args.min_frame_errors,
                              steps_per_call=args.steps_per_call,
                              backend=args.backend,
+                             big_stage_backend=args.big_stage,
                              pipeline_depth=args.pipeline_depth)
     else:
         recs = run_sweep(preset, frames=args.frames,
@@ -88,6 +94,7 @@ def main(argv=None):
                          min_frame_errors=args.min_frame_errors,
                          steps_per_call=args.steps_per_call,
                          backend=args.backend,
+                         big_stage_backend=args.big_stage,
                          pipeline_depth=args.pipeline_depth)
     print(json.dumps({"summary": [
         {"ebn0_db": r["ebn0_db"], "fer": r["fer"], "ber": r["ber"],

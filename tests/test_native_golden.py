@@ -71,3 +71,20 @@ def test_record_replay_bitmatch(tmp_path):
     assert spec2 == spec and L2 == 4
     res = replay_check(p)
     assert res["mismatch_frames"] == 0, res
+
+
+@pytest.mark.slow
+def test_mixed_golden_replay():
+    """Replay the committed mixed-kernel golden record (N=512 = 16*2^5
+    BCH-major, K=256+CRC16, SCL-8; VERDICT r2 item 6): 128 mixed-SNR
+    frames recorded from the native C++ golden decoder by
+    scripts/mixed_golden.py — closes the golden bit-match chain for the
+    BCH/mixed kernel-processing path (syndrome trellis + coset tables).
+    LLRs are float32-rounded at record time, so the f32 device replay
+    sees bit-identical inputs."""
+    import pathlib
+    rec = (pathlib.Path(__file__).resolve().parents[1] / "results" /
+           "golden_mixed_scl_b128.npz")
+    res = replay_check(rec)
+    assert res["frames"] == 128
+    assert res["mismatch_frames"] == 0, res
