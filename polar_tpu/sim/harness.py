@@ -191,17 +191,29 @@ def run_sweep(preset: Preset, frames: int | None = None,
         key = jax.random.fold_in(jax.random.key(state.seed), si)
         t0 = time.time()
         t_frames = 0
+        # steady-state rate: the first fetch includes the one-time
+        # compile (~40 s warm disk cache for the Pallas flagship), so the
+        # rate clock starts when the first super-batch lands and excludes
+        # its frames
+        t_rate = None
+        f_rate = 0
         frames_per_call = global_batch * steps_per_call
         pending: list = []     # dispatched-but-unfetched outs, FIFO
 
         def fetch_one():
-            nonlocal t_frames
-            out = pending.pop(0)
+            nonlocal t_frames, t_rate, f_rate
+            # one device_get for the whole counter dict: three serial
+            # int() fetches cost ~100 ms of extra tunnel round-trips per
+            # super-batch (306k -> 581k cw/s measured on chip, r3)
+            out = jax.device_get(pending.pop(0))
             state.rng_step[si] += 1
             state.frames[si] += int(out["frames"])
             state.frame_errors[si] += int(out["frame_errors"])
             state.bit_errors[si] += int(out["bit_errors"])
             t_frames += int(out["frames"])
+            if t_rate is None:
+                t_rate = time.time()
+                f_rate = t_frames
             if spath:
                 state.save(spath)
 
@@ -220,6 +232,10 @@ def run_sweep(preset: Preset, frames: int | None = None,
         while pending:
             fetch_one()
         dt = max(time.time() - t0, 1e-9)
+        if t_rate is not None and t_frames > f_rate:
+            rate = (t_frames - f_rate) / max(time.time() - t_rate, 1e-9)
+        else:
+            rate = t_frames / dt if t_frames else None
         n, fe, be = state.frames[si], state.frame_errors[si], state.bit_errors[si]
         lo, hi = wilson_ci(fe, n)
         rec = {
@@ -227,7 +243,7 @@ def run_sweep(preset: Preset, frames: int | None = None,
             "frame_errors": fe, "bit_errors": be,
             "fer": fe / max(n, 1), "ber": be / max(n * preset.spec.K, 1),
             "fer_ci95": [lo, hi],
-            "codewords_per_s": t_frames / dt if t_frames else None,
+            "codewords_per_s": rate,
             "n_devices": n_dev, "global_batch": global_batch,
         }
         records.append(rec)
