@@ -26,7 +26,8 @@ def main(argv=None):
     p.add_argument("--preset", default="ca_scl")
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--reps", type=int, default=8)
-    p.add_argument("--backend", choices=("xla", "pallas"), default="xla")
+    p.add_argument("--backend", choices=("xla", "pallas", "fused"),
+                   default="xla")
     p.add_argument("--list-size", type=int, default=None)
     p.add_argument("--llr-dtype", default="float32")
     p.add_argument("--batch-tile", type=int, default=128,
@@ -51,20 +52,37 @@ def main(argv=None):
         from polar_tpu.ops.pallas_scl import build_pallas_scl_decoder
         decode = build_pallas_scl_decoder(spec, L,
                                           batch_tile=args.batch_tile)
+    elif args.backend == "fused":
+        # full MC step (RNG+CRC+encode+AWGN+decode+count) in one kernel —
+        # note this measures MORE work than the other backends' decode-only
+        from polar_tpu.ops.pallas_scl import build_pallas_mc_step
+        from polar_tpu.sim.channel import ebn0_to_sigma
+        mc_step = build_pallas_mc_step(spec, L, batch_tile=args.batch_tile,
+                                       counters=True)
+        sigma = jnp.float32(ebn0_to_sigma(2.0, spec.rate))
     else:
         from polar_tpu.ops.scl import build_scl_decoder
         decode = build_scl_decoder(spec, L,
                                    llr_dtype=jnp.dtype(args.llr_dtype),
                                    big_stage_backend=args.big_stage)
 
-    @jax.jit
-    def many(llr, n):
-        def body(_, carry):
-            cur, acc = carry
-            out = decode(cur)
-            s = jnp.sum(out.pm)
-            return (llr + 0.0 * s, acc + s)
-        return jax.lax.fori_loop(0, n, body, (llr, jnp.float32(0)))[1]
+    if args.backend == "fused":
+        @jax.jit
+        def many(llr, n):
+            def body(i, acc):
+                fe, be, _, _ = mc_step(jnp.int32(1) + i, sigma,
+                                       args.batch)
+                return acc + fe.astype(jnp.float32)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+    else:
+        @jax.jit
+        def many(llr, n):
+            def body(_, carry):
+                cur, acc = carry
+                out = decode(cur)
+                s = jnp.sum(out.pm)
+                return (llr + 0.0 * s, acc + s)
+            return jax.lax.fori_loop(0, n, body, (llr, jnp.float32(0)))[1]
 
     B = args.batch
     llr = jax.random.normal(jax.random.key(0), (B, spec.N), jnp.float32)
@@ -79,6 +97,7 @@ def main(argv=None):
     dt = (time.perf_counter() - t0 - base) / args.reps
     print(json.dumps({
         "preset": args.preset, "backend": args.backend, "batch": B,
+        "big_stage": args.big_stage if args.backend == "xla" else None,
         "batch_tile": args.batch_tile if args.backend == "pallas" else None,
         "list_size": L, "ms_per_decode": round(dt * 1e3, 3),
         "codewords_per_s": round(B / dt, 1),

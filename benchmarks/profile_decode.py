@@ -73,7 +73,8 @@ def categorize(name):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="mixed_scl32")
-    p.add_argument("--backend", choices=("xla", "pallas"), default="xla")
+    p.add_argument("--backend", choices=("xla", "pallas", "fused"),
+                   default="xla")
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--reps", type=int, default=4)
     p.add_argument("--mode", choices=("decode", "harness"), default="decode")

@@ -114,10 +114,35 @@ def _traj_ops(program):
 
 
 def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
-                            batch_tile: int = 128, interpret: bool = False):
+                            batch_tile: int = 128, interpret: bool = False,
+                            mc: bool = False, counters: bool = False):
     """Returns core(llrs [B, N] f32) -> (traj_bit [N, P, B] i8,
     traj_perm [Q, P, B] i32, pm [P, B] f32, spans) — the decode front end;
-    feed to `scl_epilogue`. B must be a multiple of batch_tile."""
+    feed to `scl_epilogue`. B must be a multiple of batch_tile.
+
+    mc=True builds the *fused Monte-Carlo* variant instead: the kernel
+    generates random info bits (pltpu PRNG), computes the CRC (one MXU
+    matmul against the u-domain-extended generator matrix — no gathers),
+    Kronecker-encodes, adds AWGN (Box-Muller) and forms channel LLRs
+    entirely in VMEM, then runs the same decode body. Signature:
+    core(seed i32 [1,1], sigma f32 [1,1], B) -> (traj_bit, traj_perm, pm,
+    u_true [N, B] i8). The decode path is untouched (bit-identical);
+    only the source of the LLRs changes, so FER statistics are the
+    contract, per-frame equality with the XLA harness is not (different
+    PRNG streams).
+
+    counters=True (requires mc) goes further: NO genealogy/trajectory is
+    emitted at all. Per-path CRC syndromes and info-bit-error counts are
+    accumulated *during* the decode — each fork's survival permutation
+    rebinds the tiny [W, P, BT]/[P, BT] accumulators alongside the
+    existing index maps, so the final CRC check, best-path selection and
+    error counting happen in-kernel and the kernel's only output is an
+    [8, B] i32 counter block (rows: frame-error flag, bit errors).
+    Signature: core(seed, sigma, B) -> counters [8, B] i32. This is the
+    harness hot path: it eliminates the XLA epilogue and all traj HBM
+    traffic. Equality with the full mode's XLA-epilogue counts is pinned
+    by tests/test_pallas_mc.py."""
+    assert mc or not counters, "counters mode requires mc=True"
     P = int(list_size)
     m = len(spec.factors)
     N = spec.N
@@ -162,7 +187,119 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
     inv_kernels = ([k.astype(np.uint8) for k in staged_inverse_kernels(spec)]
                    if big else None)
 
-    def kernel(llr_ref, bit_ref, perm_ref, pm_ref, *scratch):
+    # ---- fused-MC constants (host-side numpy, become kernel INPUTS —
+    # Pallas kernels cannot capture array constants) --------------------
+    W = spec.crc.width if (mc and spec.crc is not None) else 0
+    W8 = max(8, W)                    # sublane-pad the CRC matmul rows
+    if mc:
+        info_pos = np.asarray(spec.info_positions)
+        crc_pos = info_pos[spec.K:] if W else np.zeros(0, np.int64)
+        data_pos = info_pos[:spec.K] if W else info_pos
+        # 1.0 at positions that carry fresh random bits (info slots)
+        data_mask_np = np.zeros((N, 128), np.float32)
+        data_mask_np[data_pos] = 1.0
+        if W:
+            # u-domain-extended CRC generator: crc_w = sum_pos gext[w,pos]
+            # * u[pos] (mod 2) — one [W, N] @ [N, BT] MXU matmul instead
+            # of gathering the K info rows (gathers serialize on TPU)
+            g_np = spec.crc.generator_matrix(spec.K).astype(np.float32)
+            gext_np = np.zeros((W8, N), np.float32)
+            gext_np[:W, data_pos] = g_np.T
+            # self-columns at the crc positions: harmless for generation
+            # (u's crc rows are still zero at matmul time) and they make
+            # the counters-mode syndrome exactly "computed == stored":
+            # (G_data·u + u[crc_pos] + off) mod 2 == 0
+            gext_np[np.arange(W), crc_pos] += 1.0
+            off_np = np.zeros((W8, 128), np.float32)
+            off_np[:W] = spec.crc.offset_bits(spec.K).astype(
+                np.float32)[:, None]
+
+    def kernel(*refs):
+        if mc:
+            if W:
+                fro_ref, gext_ref, off_ref, seed_ref, sig_ref = refs[:5]
+                rest = refs[5:]
+            else:
+                fro_ref, seed_ref, sig_ref = refs[:3]
+                rest = refs[3:]
+            if counters:
+                cnt_ref = rest[0]
+                bit_ref = perm_ref = pm_ref = utrue_ref = None
+                scratch = rest[1:]
+            else:
+                bit_ref, perm_ref, pm_ref, utrue_ref = rest[:4]
+                scratch = rest[4:]
+            llr_ref = None
+        else:
+            llr_ref, bit_ref, perm_ref, pm_ref = refs[:4]
+            scratch = refs[4:]
+
+        # ---- fused-MC prologue: RNG -> CRC -> encode -> AWGN -> LLRs ---
+        chan_llr = None
+        if mc:
+            pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+
+            def _u24(bits):        # top-24 uniform bits as f32 in [0, 2^24)
+                ub = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+                sh = jax.lax.shift_right_logical(ub, jnp.uint32(8))
+                # Mosaic has no u32->f32 cast; the 24-bit value is
+                # non-negative, so reinterpret as i32 first
+                return jax.lax.bitcast_convert_type(
+                    sh, jnp.int32).astype(jnp.float32)
+
+            b0 = pltpu.prng_random_bits((N, BT))
+            lsb = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(b0, jnp.uint32)
+                & jnp.uint32(1), jnp.int32).astype(jnp.float32)
+            u_true = lsb * fro_ref[:, :BT]
+            if W:
+                cw = jax.lax.dot_general(
+                    gext_ref[:], u_true, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                cw = jnp.mod(cw + off_ref[:, :BT], 2.0)      # [W8, BT]
+                iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, BT), 0)
+                for w in range(W):
+                    u_true = jnp.where(iota_n == int(crc_pos[w]),
+                                       cw[w:w + 1, :], u_true)
+            if not counters:
+                utrue_ref[:] = u_true.astype(jnp.int8)
+            # Kronecker encode x = u · (K_1 ⊗ … ⊗ K_m) over GF(2):
+            # stagewise butterfly on 0/1 f32 (XOR = |a-b|), identical
+            # GF(2) result to ops/encode.encode_u's tensordot chain
+            x = u_true
+            pre = 1
+            for s in range(m):
+                lf = factors[s]
+                post = N // (pre * lf)
+                t = x.reshape(pre, lf, post, BT)
+                cols = []
+                for a in range(lf):
+                    par = None
+                    for j in range(lf):
+                        if kernels_np[s][j, a]:
+                            xj = t[:, j:j + 1]
+                            par = xj if par is None else jnp.abs(par - xj)
+                    cols.append(par if par is not None
+                                else jnp.zeros_like(t[:, 0:1]))
+                x = jnp.concatenate(cols, axis=1).reshape(N, BT)
+                pre *= lf
+            # BPSK-AWGN channel + LLRs (sim/channel.py conventions):
+            # Box-Muller, using BOTH outputs of each (u1, u2) pair — the
+            # transcendentals (log/sqrt/cos/sin are multi-op polynomial
+            # lowerings on the VPU) dominate the prologue, and pairing
+            # halves the log+sqrt count
+            sigma = sig_ref[0, 0]
+            Nh = N // 2
+            u1 = (_u24(pltpu.prng_random_bits((Nh, BT))) + 1.0) * \
+                jnp.float32(2.0 ** -24)                       # (0, 1]
+            u2 = _u24(pltpu.prng_random_bits((Nh, BT))) * \
+                jnp.float32(2.0 ** -24)                       # [0, 1)
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            th = jnp.float32(2.0 * np.pi) * u2
+            gauss = jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)],
+                                    axis=0)
+            y = (1.0 - 2.0 * x) + sigma * gauss
+            chan_llr = (2.0 / (sigma * sigma)) * y
         lam = list(scratch[:m])                 # lam[s]: [P, n_{s+1}, BT] f32
         dec = list(scratch[m:2 * m])    # dec[s]: [l_s, P, n_{s+1}, BT] i8
         rlam_ref = scratch[2 * m]               # [m, P, BT] i32
@@ -182,6 +319,13 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             "dec_ep": [[-1] * factors[s] for s in range(m)],
             "q": 0,
         }
+        if counters:
+            # per-path CRC syndrome + info-bit-error accumulators: they
+            # ride along the fork permutations (rebound in apply_perm),
+            # so no genealogy is needed to count errors at the end
+            if W:
+                ctx["crc_acc"] = jnp.zeros((W8, P, BT), jnp.float32)
+            ctx["be_acc"] = jnp.zeros((P, BT), jnp.float32)
 
         def pgather(x, idx):
             """x [P, ...], idx [P, BT] -> y[p] = x[idx[p]] per lane."""
@@ -202,6 +346,12 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             rdec_ref[:] = pgather(
                 jnp.moveaxis(rdec_ref[:], 2, 0), perm[:, None, None, :]
             ).swapaxes(0, 1).swapaxes(1, 2)
+            if counters:
+                if W:
+                    ctx["crc_acc"] = pgather(
+                        jnp.moveaxis(ctx["crc_acc"], 1, 0),
+                        perm[:, None, :]).swapaxes(0, 1)
+                ctx["be_acc"] = pgather(ctx["be_acc"], perm)
             ctx["epoch"] += 1
 
         def fork2(pm, pen0, pen1):
@@ -260,10 +410,26 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
         def write_traj(t0, n, perm, bits_pnb):
             """bits [P, n, BT] in post-op path indexing."""
             q = ctx["q"]
+            ctx["q"] = q + 1
+            if counters:
+                # accumulate instead of emitting genealogy. Fully-frozen
+                # spans (R0, frozen leaves) contribute nothing: their
+                # gext columns and fro rows are all zero.
+                if bool(frozen_np[t0:t0 + n].all()):
+                    return
+                if W:
+                    g_sl = gext_ref[:, t0:t0 + n]           # [W8, n]
+                    ctx["crc_acc"] = ctx["crc_acc"] + jax.lax.dot_general(
+                        g_sl, bits_pnb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                fro_sl = fro_ref[t0:t0 + n, :BT]            # [n, BT]
+                ut_sl = u_true[t0:t0 + n]                   # [n, BT] f32
+                d = jnp.abs(bits_pnb - ut_sl[None]) * fro_sl[None]
+                ctx["be_acc"] = ctx["be_acc"] + jnp.sum(d, axis=1)
+                return
             perm_ref[q * P:(q + 1) * P] = perm
             bits = jnp.swapaxes(bits_pnb, 0, 1).reshape(n * P, BT)
             bit_ref[t0 * P:(t0 + n) * P] = bits.astype(jnp.int8)
-            ctx["q"] = q + 1
 
         # ---- ops -------------------------------------------------------
         def tree_fold(terms):
@@ -361,7 +527,8 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
         def down(s, t0, fresh):
             l, n = factors[s - 1], n_sizes[s]
             if s == 1:
-                prev = llr_ref[:].reshape(l, n, BT)[None]   # [1, l, n, BT]
+                base = chan_llr if chan_llr is not None else llr_ref[:]
+                prev = base.reshape(l, n, BT)[None]         # [1, l, n, BT]
             else:
                 if ctx["lam_ep"][s - 2] == ctx["epoch"]:
                     prev = lam[s - 2][:]
@@ -583,8 +750,31 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 node_leaf(t0)
             else:
                 raise ValueError(k)
-        pm_ref[:] = ctx["pm"]
         assert ctx["q"] == Q
+        if counters:
+            # in-kernel finalize: CRC check per path (same algebra as
+            # ops/scl.finalize), best-path select (min + first-match-min,
+            # matching argmin's first-index tie-break), error counting
+            if W:
+                off_v = off_ref[:, :BT]                    # [W8, BT]
+                cw = jnp.mod(ctx["crc_acc"] + off_v[:, None, :], 2.0)
+                bad = jnp.max(cw[:W], axis=0)              # [P, BT] 0/1
+                score = ctx["pm"] + BIG * bad
+            else:
+                score = ctx["pm"]
+            bs = jnp.min(score, axis=0)                    # [BT]
+            at = jnp.where(score == bs[None], iota_p, P)
+            bp = jnp.min(at, axis=0)                       # [BT]
+            sel = jnp.where(iota_p == bp[None], 1.0, 0.0)  # [P, BT]
+            be_best = jnp.sum(sel * ctx["be_acc"], axis=0)
+            fe_best = jnp.where(be_best > 0, 1.0, 0.0)
+            iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, BT), 0)
+            out = jnp.where(iota8 == 0, fe_best[None],
+                            jnp.zeros((8, BT), jnp.float32))
+            out = jnp.where(iota8 == 1, be_best[None], out)
+            cnt_ref[:] = out.astype(jnp.int32)
+            return
+        pm_ref[:] = ctx["pm"]
 
     scratch_shapes = (
         [pltpu.VMEM((P, n_sizes[s], BT), jnp.float32) for s in range(1, m + 1)]
@@ -593,6 +783,86 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
         + [pltpu.VMEM((m, P, BT), jnp.int32),
            pltpu.VMEM((m, l_max, P, BT), jnp.int32)]
     )
+
+    if mc:
+        def _mc_ins(seed, sigma):
+            ins = [jnp.asarray(data_mask_np)]
+            in_specs = [pl.BlockSpec((N, 128), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)]
+            if W:
+                ins += [jnp.asarray(gext_np), jnp.asarray(off_np)]
+                in_specs += [
+                    pl.BlockSpec((W8, N), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((W8, 128), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)]
+            ins += [jnp.asarray(seed, jnp.int32).reshape(1, 1),
+                    jnp.asarray(sigma, jnp.float32).reshape(1, 1)]
+            in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
+                         pl.BlockSpec(memory_space=pltpu.SMEM)]
+            return ins, in_specs
+
+        if counters:
+            def core_cnt(seed: jnp.ndarray, sigma: jnp.ndarray, B: int):
+                if B % BT:
+                    raise ValueError(
+                        f"batch {B} not a multiple of tile {BT}")
+                nt = B // BT
+                ins, in_specs = _mc_ins(seed, sigma)
+                cnt = pl.pallas_call(
+                    kernel,
+                    grid=(nt,),
+                    in_specs=in_specs,
+                    out_specs=pl.BlockSpec((8, BT), lambda i: (0, i),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((8, B), jnp.int32),
+                    scratch_shapes=scratch_shapes,
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 1024 * 1024),
+                    interpret=pltpu.InterpretParams() if interpret
+                    else False,
+                )(*ins)
+                return cnt
+
+            return core_cnt, spans
+
+        def core_mc(seed: jnp.ndarray, sigma: jnp.ndarray, B: int):
+            if B % BT:
+                raise ValueError(f"batch {B} not a multiple of tile {BT}")
+            nt = B // BT
+            ins, in_specs = _mc_ins(seed, sigma)
+            bit, perm, pm, utrue = pl.pallas_call(
+                kernel,
+                grid=(nt,),
+                in_specs=in_specs,
+                out_specs=(
+                    pl.BlockSpec((N * P, BT), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((Q * P, BT), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, BT), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((N, BT), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((N * P, B), jnp.int8),
+                    jax.ShapeDtypeStruct((Q * P, B), jnp.int32),
+                    jax.ShapeDtypeStruct((P, B), jnp.float32),
+                    jax.ShapeDtypeStruct((N, B), jnp.int8),
+                ),
+                scratch_shapes=scratch_shapes,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                # the generic interpreter has no rule for the TPU PRNG
+                # primitives — use the TPU-semantics interpreter for the
+                # fused-MC kernel's CPU tests
+                interpret=pltpu.InterpretParams() if interpret else False,
+            )(*ins)
+            return (bit.reshape(N, P, B), perm.reshape(Q, P, B), pm,
+                    utrue)
+
+        return core_mc, spans
 
     def core(llrs: jnp.ndarray):
         B = llrs.shape[0]
@@ -633,6 +903,55 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
 def build_digits(spec: CodeSpec):
     from polar_tpu.ops.schedule import build_schedule
     return build_schedule(spec).digits
+
+
+def build_pallas_mc_step(spec: CodeSpec, list_size: int,
+                         batch_tile: int = 128, interpret: bool = False,
+                         counters: bool = False):
+    """Fused Monte-Carlo step: step(seed i32, sigma f32, batch) ->
+    (frame_errors i32, bit_errors i32, u_true [N, B] i8, result).
+
+    The entire RNG -> CRC -> encode -> AWGN -> LLR -> SCL-decode chain
+    runs inside one Pallas kernel per batch tile (see
+    build_pallas_scl_kernel mc=True); only the genealogy epilogue, CRC
+    path selection, and error counting remain in XLA. Replaces the
+    reference's whole `simulate()` hot loop (SURVEY.md §3.1) with one
+    fused device program. The decode path is bit-identical to the
+    non-fused backends; the PRNG stream differs from the XLA harness
+    (pltpu hardware PRNG vs threefry), so FER statistics — not per-frame
+    equality — are the contract. Jit the result (batch static).
+
+    counters=True: the error counting happens in-kernel too (see
+    build_pallas_scl_kernel counters) — step returns (frame_errors,
+    bit_errors, None, None); same numbers as the full mode on the same
+    seed (pinned by tests), no genealogy/epilogue work at all."""
+    from polar_tpu.ops.scl import scl_epilogue
+
+    core, spans = build_pallas_scl_kernel(spec, list_size,
+                                          batch_tile=batch_tile,
+                                          interpret=interpret, mc=True,
+                                          counters=counters)
+    info_mask_np = np.zeros(spec.N, bool)
+    info_mask_np[np.asarray(spec.info_positions)[:spec.K]] = True
+
+    if counters:
+        def step_cnt(seed: jnp.ndarray, sigma: jnp.ndarray, batch: int):
+            cnt = core(seed, sigma, batch)               # [8, B] i32
+            return jnp.sum(cnt[0]), jnp.sum(cnt[1]), None, None
+
+        return step_cnt
+
+    def step(seed: jnp.ndarray, sigma: jnp.ndarray, batch: int):
+        traj_bit, traj_perm, pm, u_true = core(seed, sigma, batch)
+        entries = [(t0, n, traj_perm[q]) for q, (t0, n) in enumerate(spans)]
+        res = scl_epilogue(spec, list_size, entries, traj_bit, pm)
+        mask = jnp.asarray(info_mask_np)
+        diff = (res.u.astype(jnp.int8) != u_true.T) & mask[None, :]
+        frame_err = jnp.sum(jnp.any(diff, axis=1)).astype(jnp.int32)
+        bit_err = jnp.sum(diff).astype(jnp.int32)
+        return frame_err, bit_err, u_true, res
+
+    return step
 
 
 def build_pallas_scl_decoder(spec: CodeSpec, list_size: int,

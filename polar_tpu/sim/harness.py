@@ -47,11 +47,20 @@ def make_mc_step(spec: CodeSpec, list_size: int, steps_per_call: int = 1,
     backend: "xla" (ops/scl.py unrolled program) or "pallas" (VMEM-resident
     mega-kernel, ops/pallas_scl.py; batch must be a multiple of its 128-lane
     tile). Both are bit-identical — the knob trades compile time for rate.
+    "fused" additionally moves RNG/CRC/encode/channel INTO the kernel
+    (build_pallas_mc_step): the fastest path; decode is bit-identical but
+    the PRNG stream differs (pltpu hardware PRNG vs threefry), so its FER
+    is statistically — not per-frame — equal to the other backends.
     interpret runs the Pallas kernel in interpreter mode (CPU tests only)."""
     if backend == "pallas":
         from polar_tpu.ops.pallas_scl import build_pallas_scl_decoder
         decode = build_pallas_scl_decoder(spec, list_size,
                                           interpret=interpret)
+    elif backend == "fused":
+        from polar_tpu.ops.pallas_scl import build_pallas_mc_step
+        mc_kernel_step = build_pallas_mc_step(spec, list_size,
+                                              interpret=interpret,
+                                              counters=True)
     elif backend == "xla":
         decode = build_scl_decoder(spec, list_size,
                                    big_stage_backend=big_stage_backend,
@@ -61,6 +70,13 @@ def make_mc_step(spec: CodeSpec, list_size: int, steps_per_call: int = 1,
     K = spec.K
 
     def one(key, sigma, batch: int):
+        if backend == "fused":
+            # whole MC step in one Pallas kernel (RNG/encode/channel/
+            # decode VMEM-resident); seed derived from the step key so
+            # resume determinism is preserved
+            seed = jax.random.bits(key, (), jnp.uint32).astype(jnp.int32)
+            fe, be, _, _ = mc_kernel_step(seed, sigma, batch)
+            return fe.astype(jnp.int32), be.astype(jnp.int32)
         k_info, k_noise = jax.random.split(key)
         info = jax.random.bernoulli(k_info, 0.5, (batch, K)).astype(jnp.int8)
         payload = crc_append(spec.crc, info) if spec.crc is not None else info

@@ -35,9 +35,14 @@ def main(argv=None):
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="batches chained per device dispatch (amortizes "
                         "the host round-trip; see harness.make_mc_step)")
-    p.add_argument("--backend", choices=("xla", "pallas"), default="xla",
+    p.add_argument("--backend", choices=("xla", "pallas", "fused"),
+                   default="xla",
                    help="decoder backend: pallas = VMEM-resident mega-"
-                        "kernel (ops/pallas_scl.py), ~2x the XLA rate")
+                        "kernel (ops/pallas_scl.py), ~2x the XLA rate; "
+                        "fused = the whole MC step (RNG/encode/channel/"
+                        "decode) in one Pallas kernel — fastest; FER-"
+                        "equivalent but a different PRNG stream than "
+                        "xla/pallas")
     p.add_argument("--big-stage", choices=("xla", "pallas"), default="xla",
                    help="xla backend: l>2 kernel-input LLR backend "
                         "(pallas = hybrid VMEM-resident stage kernels, "
