@@ -60,6 +60,22 @@ from polar_tpu.ops.program import build_program, staged_inverse_kernels
 
 BIG = np.float32(1e30)
 INF = np.float32(3e38) / 4          # kernels/trellis.INF (min-plus padding)
+
+# Trace-time element-op tally (benchmarks/kernel_opcount.py). When set to a
+# dict, the kernel helpers record their exact VPU element-op counts per
+# (program-op kind, helper) bucket while the kernel traces — shapes are
+# static, so the counts are exact for the emitted expression DAG. This is
+# the repo's non-XLA-proxied speed-of-light accounting (VERDICT r3 weak 2):
+# unlike XLA's cost_analysis "flops", it counts where/select/cmp/roll ops
+# the way Mosaic actually executes them. None (default) = zero overhead.
+_TALLY: dict | None = None
+
+
+def _tln(helper: str, n) -> None:
+    if _TALLY is not None:
+        key = (_TALLY.get("ctx", "?"), helper)
+        c = _TALLY.setdefault("counts", {})
+        c[key] = c.get(key, 0) + int(n)
 _TERM_BUDGET = 8 * 1024 * 1024      # max bytes per table-correlation chunk
 VMEM_BUDGET = 16 * 2**20            # ~VMEM/core (pallas_guide.md); the
 # empirical envelope: flagship bt=128 (~9 MiB) compiles, bt=256 and
@@ -67,22 +83,45 @@ VMEM_BUDGET = 16 * 2**20            # ~VMEM/core (pallas_guide.md); the
 
 
 def vmem_footprint(spec: CodeSpec, list_size: int, batch_tile: int,
-                   Q: int) -> dict:
+                   Q: int, mc: bool = False, counters: bool = False,
+                   select: bool = False) -> dict:
     """Exact bytes of the kernel's VMEM-resident blocks at one batch tile
     (mirrors scratch_shapes + block specs below). Q = number of
-    trajectory spans (len of `spans` returned by build_pallas_scl_kernel)."""
+    trajectory spans (len of `spans` returned by build_pallas_scl_kernel).
+    The r3 rmaps scratch is gone (path->slot maps are lazy trace-time
+    values now, a few [P, BT] i32 live temporaries). mc/counters adjust
+    the io term to each variant's actual blocks (ADVICE r3)."""
     P, BT = int(list_size), int(batch_tile)
     m = len(spec.factors)
     ns = spec.block_sizes
     lam = sum(P * ns[s] * BT * 4 for s in range(1, m + 1))
     dec = sum(spec.factors[s - 1] * P * ns[s] * BT for s in range(1, m + 1))
-    rmaps = m * P * BT * 4 + m * max(spec.factors) * P * BT * 4
-    io = (spec.N * BT * 4          # llr in-block
-          + spec.N * P * BT        # traj_bit out-block (i8)
-          + Q * P * BT * 4         # traj_perm out-block
-          + P * BT * 4)            # pm out-block
-    return {"lam": lam, "dec": dec, "rmaps": rmaps, "io": io,
-            "total": lam + dec + rmaps + io}
+    W = spec.crc.width if ((mc or select) and spec.crc is not None) else 0
+    W8 = max(8, W)
+    if counters:
+        io = 8 * BT * 4                       # counter out-block only
+    elif select:
+        io = (spec.N * BT * 4                 # llr in-block
+              + spec.N * BT + 8 * BT * 4      # u + meta out-blocks
+              + spec.N * P * BT * 4)          # traj-bit scratch (f32)
+        if W:
+            io += W8 * spec.N * 4 + W8 * 128 * 4    # gsel + off in-blocks
+    else:
+        io = (spec.N * P * BT                 # traj_bit out-block (i8)
+              + Q * P * BT * 4                # traj_perm out-block
+              + P * BT * 4)                   # pm out-block
+        if mc:
+            io += spec.N * BT                 # u_true out-block (i8)
+    if mc:
+        io += spec.N * 128 * 4                # data-mask in-block
+        if W:
+            io += W8 * spec.N * 4 + W8 * 128 * 4    # gext + off in-blocks
+        if counters and W:
+            io += W8 * P * BT * 4             # crc_acc live accumulator
+    else:
+        io += spec.N * BT * 4                 # llr in-block
+    return {"lam": lam, "dec": dec, "io": io,
+            "total": lam + dec + io}
 
 
 class _BigStage:
@@ -106,6 +145,67 @@ class _BigStage:
                 self.syn.append(None)
 
 
+class _Dead:
+    """Sentinel: a path->slot map invalidated by liveness analysis (the
+    buffer will be rewritten before its next read, so no fork needs to
+    keep its map current). Reading through it is a liveness bug."""
+
+    def __repr__(self):
+        return "<dead map>"
+
+
+_DEAD = _Dead()
+
+
+def _map_liveness(program, factors, digits_np, m):
+    """Static liveness of the per-buffer path->slot maps.
+
+    For each buffer (lam[s] / dec[s][j]) and op index k, live[k] is True
+    iff the next access of that buffer at an op > k is a READ (so a fork
+    inside op k must keep the buffer's map composed) and False if it is a
+    WRITE or there is none (the map may be dropped at the fork). Node-op
+    reads of their own input lam happen before any fork of the same op,
+    so only strictly-later ops matter — which is exactly what "op > k"
+    encodes. Returns (live_lam [m][n_ops], live_dec [m][l][n_ops])."""
+    n_ops = len(program.ops)
+    lam_ev = [dict() for _ in range(m)]          # op_idx -> 'r'|'w'
+    dec_ev = [[dict() for _ in range(factors[s])] for s in range(m)]
+    for k, op in enumerate(program.ops):
+        kind, s, t0 = op.kind, op.level, op.t0
+        if kind in ("DOWN_FRESH", "DOWN_DYN"):
+            if s >= 2:
+                lam_ev[s - 2][k] = "r"
+            if kind == "DOWN_DYN":
+                i = int(digits_np[t0, s - 1])
+                for j in range(i if factors[s - 1] > 2 else 1):
+                    dec_ev[s - 1][j][k] = "r"
+            lam_ev[s - 1][k] = "w"
+        elif kind == "UP":
+            for j in range(factors[s - 1]):
+                dec_ev[s - 1][j][k] = "r"
+            dec_ev[s - 2][int(digits_np[t0, s - 2])][k] = "w"
+        else:                                    # R0/REP/R1/SPC/LEAF
+            lam_ev[s - 1][k] = "r"
+            dec_ev[s - 1][int(digits_np[t0, s - 1])][k] = "w"
+
+    def scan(ev):
+        out = np.zeros(n_ops, np.bool_)
+        state = False              # next event strictly after op j a read?
+        for j in range(n_ops - 1, -1, -1):
+            e = ev.get(j)
+            # A fork inside op j runs after op j's reads but before its
+            # write: an own-op write kills the map; an own-op read does
+            # not need it kept.
+            out[j] = False if e == "w" else state
+            if e is not None:
+                state = e == "r"
+        return out
+
+    return ([scan(lam_ev[s]) for s in range(m)],
+            [[scan(dec_ev[s][j]) for j in range(factors[s])]
+             for s in range(m)])
+
+
 def _traj_ops(program):
     """(t0, n) spans of ops that decide bits (leaf order)."""
     kinds = {"R0", "REP", "R1", "SPC", "LEAF"}
@@ -115,7 +215,8 @@ def _traj_ops(program):
 
 def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                             batch_tile: int = 128, interpret: bool = False,
-                            mc: bool = False, counters: bool = False):
+                            mc: bool = False, counters: bool = False,
+                            select: bool = False):
     """Returns core(llrs [B, N] f32) -> (traj_bit [N, P, B] i8,
     traj_perm [Q, P, B] i32, pm [P, B] f32, spans) — the decode front end;
     feed to `scl_epilogue`. B must be a multiple of batch_tile.
@@ -141,8 +242,21 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
     Signature: core(seed, sigma, B) -> counters [8, B] i32. This is the
     harness hot path: it eliminates the XLA epilogue and all traj HBM
     traffic. Equality with the full mode's XLA-epilogue counts is pinned
-    by tests/test_pallas_mc.py."""
+    by tests/test_pallas_mc.py.
+
+    select=True (decode variant, r4): the genealogy backtrack, per-path
+    CRC check, and best-path selection ALL run in-kernel at the end of
+    the decode — trajectory bits go to a VMEM scratch (never HBM), the
+    suffix permutation compositions are 2Q tiny [P, BT] gathers (same
+    math as scl_epilogue's associative scan), the CRC is one MXU matmul
+    per unfrozen span against the u-domain-extended generator, and the
+    kernel's only outputs are the best path's u [N, B] i8 plus an
+    [8, B] meta block (rows: pm_best, crc_ok). Replaces the XLA
+    epilogue (~22%% of decode wall at r3's shapes) and shrinks HBM out
+    from N*P + 4*Q*P to N + 32 bytes/codeword. Signature:
+    core(llrs [B, N] f32) -> (u [N, B] i8, meta [8, B] f32)."""
     assert mc or not counters, "counters mode requires mc=True"
+    assert not (mc and select), "select mode is the plain-decode variant"
     P = int(list_size)
     m = len(spec.factors)
     N = spec.N
@@ -171,7 +285,8 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
     # VMEM envelope guard (VERDICT r2 item 5): fail informatively at build
     # time instead of deep inside Mosaic scratch allocation. Interpret mode
     # runs on host memory, so the envelope does not apply there.
-    fp = vmem_footprint(spec, P, BT, Q)
+    fp = vmem_footprint(spec, P, BT, Q, mc=mc, counters=counters,
+                        select=select)
     if fp["total"] > VMEM_BUDGET and not interpret:
         raise ValueError(
             f"pallas SCL kernel for (N={spec.N}, L={P}, batch_tile={BT}) "
@@ -182,16 +297,17 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             + ") — use backend='xla', a smaller list size, or a smaller "
             "batch_tile")
 
+    live_lam, live_dec = _map_liveness(program, factors, digits_np, m)
     big = {s: _BigStage(kernels_np[s - 1]) for s in range(1, m + 1)
            if factors[s - 1] > 2}
     inv_kernels = ([k.astype(np.uint8) for k in staged_inverse_kernels(spec)]
                    if big else None)
 
-    # ---- fused-MC constants (host-side numpy, become kernel INPUTS —
-    # Pallas kernels cannot capture array constants) --------------------
-    W = spec.crc.width if (mc and spec.crc is not None) else 0
+    # ---- fused-MC / select constants (host-side numpy, become kernel
+    # INPUTS — Pallas kernels cannot capture array constants) -----------
+    W = spec.crc.width if ((mc or select) and spec.crc is not None) else 0
     W8 = max(8, W)                    # sublane-pad the CRC matmul rows
-    if mc:
+    if mc or select:
         info_pos = np.asarray(spec.info_positions)
         crc_pos = info_pos[spec.K:] if W else np.zeros(0, np.int64)
         data_pos = info_pos[:spec.K] if W else info_pos
@@ -213,6 +329,16 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             off_np = np.zeros((W8, 128), np.float32)
             off_np[:W] = spec.crc.offset_bits(spec.K).astype(
                 np.float32)[:, None]
+    if select and W:
+        # gext columns for the concatenated unfrozen traj spans (leaf
+        # order == span order): the select epilogue's CRC is ONE matmul
+        # against this matrix
+        frozen_for_cols = spec.frozen.astype(np.bool_)
+        sel_cols = np.concatenate([
+            np.arange(t0, t0 + n) for (t0, n) in spans
+            if not frozen_for_cols[t0:t0 + n].all()])
+        gsel_np = gext_np[:, sel_cols]
+        NZ = len(sel_cols)
 
     def kernel(*refs):
         if mc:
@@ -230,6 +356,14 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 bit_ref, perm_ref, pm_ref, utrue_ref = rest[:4]
                 scratch = rest[4:]
             llr_ref = None
+        elif select:
+            if W:
+                llr_ref, gsel_ref, off_ref, u_ref, meta_ref = refs[:5]
+                scratch = refs[5:]
+            else:
+                llr_ref, u_ref, meta_ref = refs[:3]
+                scratch = refs[3:]
+            bit_ref = perm_ref = pm_ref = None
         else:
             llr_ref, bit_ref, perm_ref, pm_ref = refs[:4]
             scratch = refs[4:]
@@ -302,22 +436,41 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             chan_llr = (2.0 / (sigma * sigma)) * y
         lam = list(scratch[:m])                 # lam[s]: [P, n_{s+1}, BT] f32
         dec = list(scratch[m:2 * m])    # dec[s]: [l_s, P, n_{s+1}, BT] i8
-        rlam_ref = scratch[2 * m]               # [m, P, BT] i32
-        rdec_ref = scratch[2 * m + 1]           # [m, l_max, P, BT] i32
+        bit_scr = scratch[2 * m] if select else None   # [P, N, BT] f32
 
         iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, BT), 0)
         iota2p = jax.lax.broadcasted_iota(jnp.int32, (2 * P, BT), 0)
 
         # ---- trace-time mutable decode context ------------------------
+        # Path->slot maps are lazy trace-time VALUES (r4), not VMEM
+        # scratch: None == identity (buffer untouched by forks since its
+        # write), _DEAD == invalidated by liveness (rewritten before its
+        # next read). apply_perm composes only the live, non-uniform,
+        # non-identity maps — buffers written in the same inter-fork
+        # window share one map object, so the composition is computed
+        # once per distinct map (id()-cached), not once per buffer.
         ctx = {
             # .at[].set lowers to an (unsupported) scatter in Mosaic —
             # express all masked writes as where() on an iota instead
             "pm": jnp.where(iota_p == 0, 0.0, BIG)
             if P > 1 else jnp.zeros((P, BT), jnp.float32),
-            "epoch": 0,
-            "lam_ep": [-1] * m,
-            "dec_ep": [[-1] * factors[s] for s in range(m)],
+            # trace-time: True when pm is sorted ascending by (value,
+            # path index) — every fork2 output is; per-path additions
+            # (R0, frozen leaves, SPC parity fix) clear it. Lets R1/SPC
+            # round-0 forks use fork2_sorted too when it still holds.
+            "pm_sorted": True,          # [0, BIG, ..., BIG] is sorted
+            "rlam": [None] * m,
+            "rdec": [[None] * factors[s] for s in range(m)],
+            "op_idx": 0,
+            # trace-time uniformity: True when a buffer's P rows are
+            # bit-identical (fresh-descent LLR chains from the channel,
+            # R0 all-zero decisions, UPs of uniform children) — any path
+            # gather of such a buffer is the identity, so reads skip the
+            # one-hot pgather entirely even across fork epochs (r4)
+            "lam_uni": [False] * m,
+            "dec_uni": [[False] * factors[s] for s in range(m)],
             "q": 0,
+            "traj": [],       # select mode: (t0, n, perm) per traj op
         }
         if counters:
             # per-path CRC syndrome + info-bit-error accumulators: they
@@ -331,6 +484,8 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             """x [P, ...], idx [P, BT] -> y[p] = x[idx[p]] per lane."""
             extra = x.ndim - 2
             idxe = idx.reshape((P,) + (1,) * extra + (BT,))
+            # P rounds of (broadcast cmp on idx + select on the full array)
+            _tln("pgather", P * (np.prod(x.shape) + np.prod(idxe.shape)))
             acc = None
             for p in range(P):
                 mask = idxe == p
@@ -340,48 +495,148 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             return acc
 
         def apply_perm(perm):
-            rlam_ref[:] = pgather(
-                jnp.moveaxis(rlam_ref[:], 1, 0), perm[:, None, :]
-            ).swapaxes(0, 1)
-            rdec_ref[:] = pgather(
-                jnp.moveaxis(rdec_ref[:], 2, 0), perm[:, None, None, :]
-            ).swapaxes(0, 1).swapaxes(1, 2)
+            if _TALLY is not None:
+                _TALLY["ctx"] = _TALLY.get("ctx", "?") + "/apply_perm"
+            cache = {}
+
+            def upd(mp):
+                if mp is None:          # identity at fork time -> perm
+                    return perm
+                key = id(mp)
+                if key not in cache:
+                    cache[key] = pgather(mp, perm)
+                return cache[key]
+
+            k = ctx["op_idx"]
+            for s in range(m):
+                if ctx["lam_uni"][s]:
+                    continue
+                ctx["rlam"][s] = (upd(ctx["rlam"][s]) if live_lam[s][k]
+                                  else _DEAD)
+            for s in range(m):
+                for j in range(factors[s]):
+                    if ctx["dec_uni"][s][j]:
+                        continue
+                    ctx["rdec"][s][j] = (upd(ctx["rdec"][s][j])
+                                         if live_dec[s][j][k] else _DEAD)
             if counters:
                 if W:
                     ctx["crc_acc"] = pgather(
                         jnp.moveaxis(ctx["crc_acc"], 1, 0),
                         perm[:, None, :]).swapaxes(0, 1)
                 ctx["be_acc"] = pgather(ctx["be_acc"], perm)
-            ctx["epoch"] += 1
+            if _TALLY is not None:
+                _TALLY["ctx"] = _TALLY["ctx"].rsplit("/", 1)[0]
 
         def fork2(pm, pen0, pen1):
             """Exact lax.top_k(-cand, P) equivalent via rank select.
-            Returns (pm' [P,BT], perm [P,BT] i32, bit [P,BT] i8)."""
+            Returns (pm' [P,BT], perm [P,BT] i32, bit [P,BT] i8).
+
+            Candidate c's rank = #{c': cand[c'] < cand[c], ties by lower
+            index} — a strict total order, so compares are antisymmetric:
+            L_d[c] := [cand[c+d] before cand[c]] satisfies
+            L_{2P-d}[c] = 1 - L_d[c-d] = 1 - roll(L_d, d)[c]. Only the P
+            offsets d=1..P are compared; the other P-1 come from rolls of
+            already-computed masks (r4: halves the rank pass vs the
+            2P-1-offset form). Extraction pulls the winning candidate
+            INDEX c and metric per rank row; perm/bit are 2-op algebra on
+            c (c = perm + P*bit) instead of two more select-sum chains."""
             cand = jnp.concatenate([pm + pen0, pm + pen1], axis=0)
-            rank = jnp.zeros((2 * P, BT), jnp.int32)
-            for d in range(1, 2 * P):
+            _tln("fork2", (P * 8 + P + (P - 1) * 2) * 2 * P * BT
+                 + P * 5 * 2 * P * BT + 8 * P * BT)
+            rank = jnp.full((2 * P, BT), P - 1, jnp.int32)
+            for d in range(1, P + 1):
                 other = pltpu.roll(cand, 2 * P - d, 0)  # other[c]=cand[c+d]
-                oidx = (iota2p + d) % (2 * P)
-                less = (other < cand) | ((other == cand) & (oidx < iota2p))
-                rank = rank + less.astype(jnp.int32)
-            pm_rows, perm_rows, bit_rows = [], [], []
-            candp = iota2p % P
-            candb = jnp.where(iota2p >= P, 1.0, 0.0)     # bits stay f32:
-            # i1 masks cannot be relayouted between the f32 (8,128) and i8
-            # (32,128) tilings in Mosaic, so ALL bit math in this kernel is
-            # 0.0/1.0 f32 (XOR = |a-b|); int8 only at the ref boundary.
+                # index tie-break: oidx=(c+d)%2P < c  <=>  c >= 2P-d
+                tie = iota2p >= (2 * P - d)
+                less = ((other < cand) | ((other == cand) & tie)
+                        ).astype(jnp.int32)
+                rank = rank + less
+                if d < P:
+                    rank = rank - pltpu.roll(less, d, 0)
+            return _fork_extract(cand, rank)
+
+        def _fork_extract(cand, rank):
+            pm_rows, c_rows = [], []
+            candf = iota2p.astype(jnp.float32)
             for p in range(P):
                 sel = rank == p
                 pm_rows.append(jnp.sum(jnp.where(sel, cand, 0.0), axis=0))
-                perm_rows.append(jnp.sum(jnp.where(sel, candp, 0), axis=0))
-                bit_rows.append(jnp.sum(jnp.where(sel, candb, 0.0), axis=0))
-            return (jnp.stack(pm_rows), jnp.stack(perm_rows),
-                    jnp.stack(bit_rows))
+                c_rows.append(jnp.sum(jnp.where(sel, candf, 0.0), axis=0))
+            c = jnp.stack(c_rows)                        # [P, BT] f32
+            bit = jnp.where(c >= P, 1.0, 0.0)            # bits stay f32:
+            # i1 masks cannot be relayouted between the f32 (8,128) and i8
+            # (32,128) tilings in Mosaic, so ALL bit math in this kernel is
+            # 0.0/1.0 f32 (XOR = |a-b|); int8 only at the ref boundary.
+            perm = (c - jnp.float32(P) * bit).astype(jnp.int32)
+            return jnp.stack(pm_rows), perm, bit
+
+        def fork2_sorted(pm, pen):
+            """fork2(pm, 0, pen) specialized to pm sorted ascending by
+            (value, path index) — true for every fork2/fork2_sorted
+            OUTPUT, hence for rounds r >= 1 of the R1/SPC keep/flip
+            loops. The keep half A = pm is already rank-ordered among
+            itself (rank_A = iota + cross-count) and B-half ties always
+            lose to A (indices P+j), so every compare runs on [P, BT]
+            halves — about half the rank-pass work of the general form.
+            Bit-identical to fork2 (same strict total order)."""
+            if P == 1:
+                return fork2(pm, jnp.zeros_like(pen), pen)
+            A, Bc = pm, pm + pen
+            _tln("fork2", (P * 5 + 2 * (P - 1)                 # cross
+                           + (P // 2) * 6 + (P // 2 - 1) * 2   # B-internal
+                           + 4) * P * BT
+                 + P * 5 * 2 * P * BT + 8 * P * BT)
+            crossA = crossBr = None
+            for d in range(P):
+                Bd = Bc if d == 0 else pltpu.roll(Bc, P - d, 0)
+                ld = (Bd < A).astype(jnp.int32)   # B[(c+d)%P] beats A[c]
+                crossA = ld if crossA is None else crossA + ld
+                ldr = ld if d == 0 else pltpu.roll(ld, d, 0)
+                crossBr = ldr if crossBr is None else crossBr + ldr
+            rank_a = iota_p + crossA
+            # rank_B = #{A[j] before B[c]} + #{B[j] before B[c]}; the first
+            # term is P - sum_d [B[c] < A[(c+d)%P]] = P - crossBr[c]; the
+            # second uses the same offset-halving antisymmetry as fork2.
+            half = P // 2
+            rank_b = jnp.full((P, BT), P + half - 1, jnp.int32) - crossBr
+            for d in range(1, half + 1):
+                other = pltpu.roll(Bc, P - d, 0)   # B[(c+d)%P]
+                tie = iota_p >= (P - d)
+                less = ((other < Bc) | ((other == Bc) & tie)
+                        ).astype(jnp.int32)
+                rank_b = rank_b + less
+                if d < half:
+                    rank_b = rank_b - pltpu.roll(less, d, 0)
+            cand = jnp.concatenate([A, Bc], axis=0)
+            rank = jnp.concatenate([rank_a, rank_b], axis=0)
+            return _fork_extract(cand, rank)
+
+        def defer_flips(perms, flips_raw):
+            """Map per-round flip bits to final path indexing (same math
+            as ops/scl._defer_flips, sequential trace-time form): flip_r
+            is recorded in post-round-r indexing; rounds r+1..q-1 permute
+            state by A <- A[perm], so flips_fin[r] = flip_r[suffix_r],
+            suffix_r = perm_{r+1}[perm_{r+2}[...perm_{q-1}[p]]]. Replaces
+            the r3 online [P, q, BT] flip-matrix permute every round
+            (O(q^2 P^2 BT) selects per node) with 2q tiny [P, BT]
+            gathers."""
+            q = len(perms)
+            fin = [None] * q
+            suf = None                       # None == identity
+            for r in range(q - 1, -1, -1):
+                fin[r] = (flips_raw[r] if suf is None
+                          else pgather(flips_raw[r], suf))
+                if r > 0:
+                    suf = (perms[r] if suf is None
+                           else pgather(perms[r], suf))
+            return fin
 
         def extract_mins(absl, count):
             """count smallest (val, pos) along axis 1 of [P, n, BT],
             ascending, ties to lowest index (no argmin primitive)."""
             n = absl.shape[1]
+            _tln("extract_mins", count * 5 * P * n * BT)
             iota_col = jax.lax.broadcasted_iota(jnp.int32, (P, n, BT), 1)
             vals, poss = [], []
             work = absl
@@ -396,21 +651,23 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
 
         def dec_child(s, j):
             """Child j decisions [P, n_s, BT] f32 of stage s (1-based)."""
-            if ctx["dec_ep"][s - 1][j] == ctx["epoch"]:
+            mp = ctx["rdec"][s - 1][j]
+            if mp is None or ctx["dec_uni"][s - 1][j]:
                 return dec[s - 1][j].astype(jnp.float32)
-            return pgather(dec[s - 1][j].astype(jnp.float32),
-                           rdec_ref[s - 1, j])
+            assert mp is not _DEAD, f"liveness bug: dec[{s-1}][{j}]"
+            return pgather(dec[s - 1][j].astype(jnp.float32), mp)
 
-        def write_dec(d, t0, block):
+        def write_dec(d, t0, block, uniform=False):
             idx = int(digits_np[t0, d - 1])
             dec[d - 1][idx] = block.astype(jnp.int8)
-            rdec_ref[d - 1, idx] = iota_p
-            ctx["dec_ep"][d - 1][idx] = ctx["epoch"]
+            ctx["rdec"][d - 1][idx] = None
+            ctx["dec_uni"][d - 1][idx] = bool(uniform)
 
         def write_traj(t0, n, perm, bits_pnb):
             """bits [P, n, BT] in post-op path indexing."""
             q = ctx["q"]
             ctx["q"] = q + 1
+            _tln("write_traj", np.prod(bits_pnb.shape))
             if counters:
                 # accumulate instead of emitting genealogy. Fully-frozen
                 # spans (R0, frozen leaves) contribute nothing: their
@@ -427,8 +684,17 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 d = jnp.abs(bits_pnb - ut_sl[None]) * fro_sl[None]
                 ctx["be_acc"] = ctx["be_acc"] + jnp.sum(d, axis=1)
                 return
-            perm_ref[q * P:(q + 1) * P] = perm
+            if select:
+                # [P, N, BT] f32 layout: a plain slice write — no sublane
+                # transpose, no i8<->f32 tiling relayout (both are Mosaic
+                # pain points; the first select-mode cut used i8 [N*P, BT]
+                # and lost ~5% end-to-end to exactly those relayouts)
+                bit_scr[:, t0:t0 + n, :] = jnp.broadcast_to(
+                    bits_pnb, (P, n, BT))
+                ctx["traj"].append((t0, n, perm))
+                return
             bits = jnp.swapaxes(bits_pnb, 0, 1).reshape(n * P, BT)
+            perm_ref[q * P:(q + 1) * P] = perm
             bit_ref[t0 * P:(t0 + n) * P] = bits.astype(jnp.int8)
 
         # ---- ops -------------------------------------------------------
@@ -529,30 +795,41 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             if s == 1:
                 base = chan_llr if chan_llr is not None else llr_ref[:]
                 prev = base.reshape(l, n, BT)[None]         # [1, l, n, BT]
+                prev_uni = True
             else:
-                if ctx["lam_ep"][s - 2] == ctx["epoch"]:
+                prev_uni = ctx["lam_uni"][s - 2]
+                mp = ctx["rlam"][s - 2]
+                if mp is None or prev_uni:
                     prev = lam[s - 2][:]
                 else:
-                    prev = pgather(lam[s - 2][:], rlam_ref[s - 2])
+                    assert mp is not _DEAD, f"liveness bug: lam[{s-2}]"
+                    prev = pgather(lam[s - 2][:], mp)
                 prev = prev.reshape(prev.shape[0], l, n, BT)
             if l == 2:
                 a, b = prev[:, 0], prev[:, 1]
+                _tln("fg", (7 if fresh else 4) * np.prod(a.shape)
+                     + P * n * BT)
                 if fresh:
                     # exact f_minsum convention: sign(0) == +1 (arikan.py)
                     sgn = jnp.where((a < 0) ^ (b < 0), -1.0, 1.0)
                     out = sgn * jnp.minimum(jnp.abs(a), jnp.abs(b))
+                    out_uni = prev_uni
                 else:
                     u0 = dec_child(s, 0)
                     out = b + (1.0 - 2.0 * u0) * a
+                    out_uni = prev_uni and ctx["dec_uni"][s - 1][0]
             else:
                 i = 0 if fresh else int(digits_np[t0, s - 1])
                 out = down_big(s, i, prev)
+                out_uni = prev_uni and all(ctx["dec_uni"][s - 1][j]
+                                           for j in range(i))
             lam[s - 1][:] = jnp.broadcast_to(out, (P, n, BT))
-            rlam_ref[s - 1] = iota_p
-            ctx["lam_ep"][s - 1] = ctx["epoch"]
+            ctx["rlam"][s - 1] = None
+            ctx["lam_uni"][s - 1] = out_uni
 
         def up(s, t0):
             l = factors[s - 1]
+            uni = all(ctx["dec_uni"][s - 1][j] for j in range(l))
             if l == 2:
                 u0 = dec_child(s, 0)
                 u1 = dec_child(s, 1)
@@ -570,13 +847,14 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                     cols.append(par if par is not None
                                 else jnp.zeros_like(ch[0]))
                 x = jnp.concatenate(cols, axis=1)
-            write_dec(s - 1, t0, x)
+            write_dec(s - 1, t0, x, uniform=uni)
 
         def apply_inverse(d, x):
             """u = x @ (K_{d+1} kron .. kron K_m)^-1 on 0/1 f32 [P, n, BT]
             (kept <= 5-D for Mosaic; same math as ops/scl.py)."""
             n = x.shape[1]
             below = factors[d:]
+            _tln("apply_inverse", 2 * len(below) * P * n * BT)
             if all(f == 2 for f in below):
                 h = n // 2
                 while h >= 1:
@@ -609,14 +887,17 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
         def node_r0(d, t0):
             lm = lam[d - 1][:]
             n = n_sizes[d]
+            _tln("node_misc", 3 * P * n * BT)
             ctx["pm"] = ctx["pm"] + jnp.sum(jnp.maximum(-lm, 0.0), axis=1)
+            ctx["pm_sorted"] = P == 1
             zeros = jnp.zeros((P, n, BT), jnp.float32)
             write_traj(t0, n, iota_p, zeros)
-            write_dec(d, t0, zeros)
+            write_dec(d, t0, zeros, uniform=True)
 
         def node_rep(d, t0):
             lm = lam[d - 1][:]
             n = n_sizes[d]
+            _tln("node_misc", 7 * P * n * BT)
             s0 = jnp.sum(jnp.maximum(-lm, 0.0), axis=1)
             s1 = jnp.sum(jnp.maximum(lm, 0.0), axis=1)
             if P == 1:
@@ -627,6 +908,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 pm, perm, bit = fork2(ctx["pm"], s0, s1)
                 apply_perm(perm)
                 ctx["pm"] = pm
+                ctx["pm_sorted"] = True
             iota_col = jax.lax.broadcasted_iota(jnp.int32, (P, n, BT), 1)
             ubits = jnp.where(iota_col == n - 1, bit[:, None, :], 0.0)
             write_traj(t0, n, perm, ubits)
@@ -635,6 +917,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
         def node_r1(d, t0):
             lm = lam[d - 1][:]
             n = n_sizes[d]
+            _tln("node_misc", 2 * P * n * BT)
             hd = jnp.where(lm < 0, 1.0, 0.0)
             if P == 1:
                 write_traj(t0, n, iota_p, apply_inverse(d, hd))
@@ -643,29 +926,35 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             q = min(P - 1, n)
             vals, poss = extract_mins(jnp.abs(lm), q)
             node_map = iota_p
-            flips = jnp.zeros((P, q, BT), jnp.float32)
-            iota_q = jax.lax.broadcasted_iota(jnp.int32, (P, q, BT), 1)
+            perms, flips_raw = [], []
             pm = ctx["pm"]
             for r in range(q):
                 v = pgather(vals[r], node_map)
-                pm, perm, flip = fork2(pm, jnp.zeros_like(v), v)
+                if r > 0 or ctx["pm_sorted"]:
+                    pm, perm, flip = fork2_sorted(pm, v)
+                else:
+                    pm, perm, flip = fork2(pm, jnp.zeros_like(v), v)
                 node_map = pgather(node_map, perm)
-                flips = pgather(flips, perm[:, None, :])
-                flips = jnp.where(iota_q == r, flip[:, None, :], flips)
+                perms.append(perm)
+                flips_raw.append(flip)
+            flips_fin = defer_flips(perms, flips_raw)
             xhat = pgather(hd, node_map[:, None, :])
             iota_col = jax.lax.broadcasted_iota(jnp.int32, (P, n, BT), 1)
+            _tln("onehot_flip", q * 5 * P * n * BT)
             for r in range(q):
                 pos_g = pgather(poss[r], node_map)
                 onehot = jnp.where(iota_col == pos_g[:, None, :], 1.0, 0.0)
-                xhat = jnp.abs(xhat - onehot * flips[:, r, :][:, None, :])
+                xhat = jnp.abs(xhat - onehot * flips_fin[r][:, None, :])
             apply_perm(node_map)
             ctx["pm"] = pm
+            ctx["pm_sorted"] = True
             write_traj(t0, n, node_map, apply_inverse(d, xhat))
             write_dec(d, t0, xhat)
 
         def node_spc(d, t0):
             lm = lam[d - 1][:]
             n = n_sizes[d]
+            _tln("node_misc", 6 * P * n * BT)
             hd = jnp.where(lm < 0, 1.0, 0.0)
             par = jnp.mod(jnp.sum(hd, axis=1), 2.0)      # exact: sum <= n
             absl = jnp.abs(lm)
@@ -675,6 +964,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 onehot = jnp.where(iota_col == poss[0][:, None, :], 1.0, 0.0)
                 xhat = jnp.abs(hd - onehot * par[:, None, :])
                 ctx["pm"] = ctx["pm"] + vals[0] * par
+                ctx["pm_sorted"] = False
                 write_traj(t0, n, iota_p, apply_inverse(d, xhat))
                 write_dec(d, t0, xhat)
                 return
@@ -684,27 +974,33 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             pm = ctx["pm"] + par * v0
             eta = par
             node_map = iota_p
-            flips = jnp.zeros((P, q, BT), jnp.float32)
-            iota_q = jax.lax.broadcasted_iota(jnp.int32, (P, q, BT), 1)
+            perms, flips_raw = [], []
             for r in range(1, q + 1):
                 v_r = pgather(vals[r], node_map)
                 v0_g = pgather(v0, node_map)
                 pen = v_r + (1.0 - 2.0 * eta) * v0_g
-                pm, perm, flip = fork2(pm, jnp.zeros_like(pen), pen)
+                # r=1's pm carries the per-path parity fix => unsorted
+                if r > 1:
+                    pm, perm, flip = fork2_sorted(pm, pen)
+                else:
+                    pm, perm, flip = fork2(pm, jnp.zeros_like(pen), pen)
                 node_map = pgather(node_map, perm)
                 eta = jnp.abs(pgather(eta, perm) - flip)
-                flips = pgather(flips, perm[:, None, :])
-                flips = jnp.where(iota_q == r - 1, flip[:, None, :], flips)
+                perms.append(perm)
+                flips_raw.append(flip)
+            flips_fin = defer_flips(perms, flips_raw)
             xhat = pgather(hd, node_map[:, None, :])
             pos0 = pgather(poss[0], node_map)
             onehot0 = jnp.where(iota_col == pos0[:, None, :], 1.0, 0.0)
             xhat = jnp.abs(xhat - onehot0 * eta[:, None, :])
+            _tln("onehot_flip", q * 5 * P * n * BT)
             for r in range(1, q + 1):
                 pos_g = pgather(poss[r], node_map)
                 onehot = jnp.where(iota_col == pos_g[:, None, :], 1.0, 0.0)
-                xhat = jnp.abs(xhat - onehot * flips[:, r - 1, :][:, None, :])
+                xhat = jnp.abs(xhat - onehot * flips_fin[r - 1][:, None, :])
             apply_perm(node_map)
             ctx["pm"] = pm
+            ctx["pm_sorted"] = True
             write_traj(t0, n, node_map, apply_inverse(d, xhat))
             write_dec(d, t0, xhat)
 
@@ -715,8 +1011,9 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             if bool(frozen_np[t]):
                 bit = jnp.zeros((P, BT), jnp.float32)
                 ctx["pm"] = ctx["pm"] + pen0
+                ctx["pm_sorted"] = P == 1
                 write_traj(t, 1, iota_p, bit[:, None, :])
-                write_dec(m, t, bit[:, None, :])
+                write_dec(m, t, bit[:, None, :], uniform=True)
                 return
             if P == 1:
                 bit = jnp.where(lam_leaf < 0, 1.0, 0.0)
@@ -726,12 +1023,16 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 pm, perm, bit = fork2(ctx["pm"], pen0, pen1)
                 apply_perm(perm)
                 ctx["pm"] = pm
+                ctx["pm_sorted"] = True
             write_traj(t, 1, perm, bit[:, None, :])
             write_dec(m, t, bit[:, None, :])
 
         # ---- run the static program ------------------------------------
-        for op in program.ops:
+        for oi, op in enumerate(program.ops):
             k, lvl, t0 = op.kind, op.level, op.t0
+            ctx["op_idx"] = oi
+            if _TALLY is not None:
+                _TALLY["ctx"] = f"{k}@{lvl}"
             if k == "DOWN_FRESH":
                 down(lvl, t0, True)
             elif k == "DOWN_DYN":
@@ -751,6 +1052,75 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             else:
                 raise ValueError(k)
         assert ctx["q"] == Q
+        if select:
+            # ---- in-kernel epilogue: backtrack + CRC + best-path ------
+            # Span q's bits are recorded in post-op-q path indexing; the
+            # exclusive suffix composition S_q = perm_{q+1}[...[p]...]
+            # maps them to final indexing (same derivation as
+            # defer_flips / scl_epilogue's associative scan).
+            if _TALLY is not None:
+                _TALLY["ctx"] = "EPILOGUE"
+            sufs = [None] * Q
+            suf = None
+            ubs = {}
+            for qq in range(Q - 1, -1, -1):
+                t0, n, perm = ctx["traj"][qq]
+                sufs[qq] = suf
+                if qq > 0:
+                    suf = perm if suf is None else pgather(perm, suf)
+                if W and not bool(frozen_np[t0:t0 + n].all()):
+                    bits = bit_scr[:, t0:t0 + n, :]         # [P, n, BT]
+                    ubs[qq] = (bits if sufs[qq] is None
+                               else pgather(bits, sufs[qq]))
+            if W:
+                # ONE MXU matmul over the concatenated unfrozen spans
+                # (gsel_ref holds the matching gext columns) instead of a
+                # tiny matmul per span
+                ub_all = jnp.concatenate(
+                    [ubs[qq] for qq in sorted(ubs)], axis=1)
+                crc_acc = jax.lax.dot_general(
+                    gsel_ref[:], ub_all, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                cw = jnp.mod(crc_acc + off_ref[:, :BT][:, None, :], 2.0)
+                bad = jnp.max(cw[:W], axis=0)               # [P, BT] 0/1
+                score = ctx["pm"] + BIG * bad
+                okp = 1.0 - bad
+            else:
+                score = ctx["pm"]
+                okp = jnp.ones((P, BT), jnp.float32)
+            bs = jnp.min(score, axis=0)
+            at = jnp.where(score == bs[None], iota_p, P)
+            bp = jnp.min(at, axis=0)                        # [BT] argmin
+            sel = jnp.where(iota_p == bp[None], 1.0, 0.0)   # [P, BT]
+            pm_best = jnp.sum(sel * ctx["pm"], axis=0)
+            ok_best = jnp.sum(sel * okp, axis=0)
+            for qq in range(Q):
+                t0, n, _ = ctx["traj"][qq]
+                if bool(frozen_np[t0:t0 + n].all()):
+                    u_ref[t0:t0 + n] = jnp.zeros((n, BT), jnp.int8)
+                    continue
+                bits = bit_scr[:, t0:t0 + n, :]             # [P, n, BT]
+                s_q = sufs[qq]
+                # best path's index in this span's post-op indexing
+                if s_q is None:
+                    idx = bp
+                else:
+                    idx = jnp.sum(sel * s_q.astype(jnp.float32),
+                                  axis=0).astype(jnp.int32)
+                _tln("u_best", 2 * P * n * BT)
+                idxe = idx[None, None, :]
+                acc = None
+                for p in range(P):
+                    acc = jnp.where(idxe == p, bits[p][None],
+                                    acc if acc is not None
+                                    else jnp.zeros((), bits.dtype))
+                u_ref[t0:t0 + n] = acc[0].astype(jnp.int8)
+            iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, BT), 0)
+            meta = jnp.where(iota8 == 0, pm_best[None],
+                             jnp.zeros((8, BT), jnp.float32))
+            meta = jnp.where(iota8 == 1, ok_best[None], meta)
+            meta_ref[:] = meta
+            return
         if counters:
             # in-kernel finalize: CRC check per path (same algebra as
             # ops/scl.finalize), best-path select (min + first-match-min,
@@ -780,8 +1150,6 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
         [pltpu.VMEM((P, n_sizes[s], BT), jnp.float32) for s in range(1, m + 1)]
         + [pltpu.VMEM((factors[s - 1], P, n_sizes[s], BT), jnp.int8)
            for s in range(1, m + 1)]
-        + [pltpu.VMEM((m, P, BT), jnp.int32),
-           pltpu.VMEM((m, l_max, P, BT), jnp.int32)]
     )
 
     if mc:
@@ -863,6 +1231,47 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                     utrue)
 
         return core_mc, spans
+
+    if select:
+        def core_sel(llrs: jnp.ndarray):
+            B = llrs.shape[0]
+            if B % BT:
+                raise ValueError(f"batch {B} not a multiple of tile {BT}")
+            nt = B // BT
+            llrT = llrs.T.astype(jnp.float32)       # [N, B]
+            ins = [llrT]
+            in_specs = [pl.BlockSpec((N, BT), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)]
+            if W:
+                ins += [jnp.asarray(gsel_np), jnp.asarray(off_np)]
+                in_specs += [
+                    pl.BlockSpec((W8, NZ), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((W8, 128), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)]
+            u, meta = pl.pallas_call(
+                kernel,
+                grid=(nt,),
+                in_specs=in_specs,
+                out_specs=(
+                    pl.BlockSpec((N, BT), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, BT), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((N, B), jnp.int8),
+                    jax.ShapeDtypeStruct((8, B), jnp.float32),
+                ),
+                scratch_shapes=scratch_shapes
+                + [pltpu.VMEM((P, N, BT), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(*ins)
+            return u, meta
+
+        return core_sel, spans
 
     def core(llrs: jnp.ndarray):
         B = llrs.shape[0]
@@ -956,19 +1365,50 @@ def build_pallas_mc_step(spec: CodeSpec, list_size: int,
 
 def build_pallas_scl_decoder(spec: CodeSpec, list_size: int,
                              batch_tile: int = 128,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             select: bool = True):
     """decode(llrs [B, N] f32) -> DecodeResult, bit-identical to
-    ops/scl.build_scl_decoder(spec, list_size) — Pallas front end + shared
-    XLA epilogue. Jit the result."""
-    from polar_tpu.ops.scl import scl_epilogue
+    ops/scl.build_scl_decoder(spec, list_size). Jit the result.
+
+    select=True (default, r4): backtrack/CRC/selection run in-kernel
+    (build_pallas_scl_kernel select mode) — the XLA side only slices the
+    payload rows out of the returned u. select=False keeps the r3 shape:
+    Pallas front end + shared XLA scl_epilogue (useful for debugging the
+    genealogy outputs; bit-identical either way)."""
+    from polar_tpu.ops.scl import DecodeResult, scl_epilogue
 
     core, spans = build_pallas_scl_kernel(spec, list_size,
                                           batch_tile=batch_tile,
-                                          interpret=interpret)
+                                          interpret=interpret,
+                                          select=select)
+    if not select:
+        def decode(llrs: jnp.ndarray):
+            traj_bit, traj_perm, pm = core(llrs)
+            entries = [(t0, n, traj_perm[q])
+                       for q, (t0, n) in enumerate(spans)]
+            return scl_epilogue(spec, list_size, entries, traj_bit, pm)
+
+        return decode
+
+    # payload rows = unfrozen positions of u, sliced as contiguous runs
+    # (a K-row dynamic gather serializes on TPU; unfrozen positions
+    # cluster, so the run count is small)
+    pos = np.nonzero(~spec.frozen.astype(np.bool_))[0]
+    runs = []
+    start = prev = int(pos[0])
+    for r in pos[1:]:
+        r = int(r)
+        if r == prev + 1:
+            prev = r
+            continue
+        runs.append((start, prev - start + 1))
+        start = prev = r
+    runs.append((start, prev - start + 1))
 
     def decode(llrs: jnp.ndarray):
-        traj_bit, traj_perm, pm = core(llrs)
-        entries = [(t0, n, traj_perm[q]) for q, (t0, n) in enumerate(spans)]
-        return scl_epilogue(spec, list_size, entries, traj_bit, pm)
+        u, meta = core(llrs)                       # [N, B] i8, [8, B] f32
+        payload = jnp.concatenate([u[s:s + ln] for s, ln in runs], axis=0)
+        return DecodeResult(u=u.T, payload=payload.T,
+                            crc_ok=meta[1] > 0.5, pm=meta[0])
 
     return decode
