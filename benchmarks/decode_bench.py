@@ -70,8 +70,8 @@ def main(argv=None):
         @jax.jit
         def many(llr, n):
             def body(i, acc):
-                fe, be, _, _ = mc_step(jnp.int32(1) + i, sigma,
-                                       args.batch)
+                seed = jnp.stack([jnp.int32(1) + i, jnp.int32(17)])
+                fe, be, _, _ = mc_step(seed, sigma, args.batch)
                 return acc + fe.astype(jnp.float32)
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
     else:
@@ -98,7 +98,13 @@ def main(argv=None):
     print(json.dumps({
         "preset": args.preset, "backend": args.backend, "batch": B,
         "big_stage": args.big_stage if args.backend == "xla" else None,
-        "batch_tile": args.batch_tile if args.backend == "pallas" else None,
+        # both Pallas-based backends tile the batch (ADVICE r3)
+        "batch_tile": args.batch_tile if args.backend in ("pallas", "fused")
+        else None,
+        # fused rows time a full MC step at Eb/N0=2.0 (RNG+encode+AWGN+
+        # decode+count), NOT a decode of the provided llr — don't compare
+        # 1:1 with decode rows (ADVICE r3)
+        "measures": "mc_step" if args.backend == "fused" else "decode",
         "list_size": L, "ms_per_decode": round(dt * 1e3, 3),
         "codewords_per_s": round(B / dt, 1),
         "compile_s": round(compile_s, 1),

@@ -30,6 +30,10 @@ def main():
                     help="measured codewords/s to score against the bound")
     ap.add_argument("--select", action="store_true",
                     help="trace the select-mode kernel (in-kernel epilogue)")
+    ap.add_argument("--mode", choices=["decode", "mc", "counters"],
+                    default="decode",
+                    help="decode kernel, fused-MC kernel, or fused-MC "
+                    "with in-kernel counters")
     ap.add_argument("--top", type=int, default=12)
     args = ap.parse_args()
 
@@ -47,10 +51,18 @@ def main():
 
     psc._TALLY = {}
     try:
+        mc = args.mode in ("mc", "counters")
         core, spans = psc.build_pallas_scl_kernel(
-            spec, P, batch_tile=BT, interpret=True, select=args.select)
-        jax.eval_shape(core, jax.ShapeDtypeStruct((BT, spec.N),
-                                                  jnp.float32))
+            spec, P, batch_tile=BT, interpret=True, select=args.select,
+            mc=mc, counters=args.mode == "counters")
+        if mc:
+            jax.eval_shape(
+                lambda s, sg: core(s, sg, BT),
+                jax.ShapeDtypeStruct((2,), jnp.int32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        else:
+            jax.eval_shape(core, jax.ShapeDtypeStruct((BT, spec.N),
+                                                      jnp.float32))
         counts = dict(psc._TALLY.get("counts", {}))
     finally:
         psc._TALLY = None

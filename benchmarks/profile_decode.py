@@ -95,6 +95,12 @@ def main(argv=None):
     spec = preset.spec
     L = preset.list_size
 
+    if args.backend == "fused" and args.mode != "harness":
+        # the fused backend IS a full MC step — profiling it in decode
+        # mode would silently fall through to the XLA decoder while being
+        # labeled 'fused' (ADVICE r3)
+        print("note: --backend fused implies --mode harness", flush=True)
+        args.mode = "harness"
     if args.mode == "harness":
         from polar_tpu.sim.harness import make_mc_step
         from polar_tpu.sim.channel import ebn0_to_sigma

@@ -114,6 +114,8 @@ def vmem_footprint(spec: CodeSpec, list_size: int, batch_tile: int,
             io += spec.N * BT                 # u_true out-block (i8)
     if mc:
         io += spec.N * 128 * 4                # data-mask in-block
+        if spec.N * spec.N * 2 <= 4 * 2**20:
+            io += spec.N * spec.N * 2         # MXU-encode generator (bf16)
         if W:
             io += W8 * spec.N * 4 + W8 * 128 * 4    # gext + off in-blocks
         if counters and W:
@@ -216,7 +218,7 @@ def _traj_ops(program):
 def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                             batch_tile: int = 128, interpret: bool = False,
                             mc: bool = False, counters: bool = False,
-                            select: bool = False):
+                            select: bool = False, mc_noise: bool = False):
     """Returns core(llrs [B, N] f32) -> (traj_bit [N, P, B] i8,
     traj_perm [Q, P, B] i32, pm [P, B] f32, spans) — the decode front end;
     feed to `scl_epilogue`. B must be a multiple of batch_tile.
@@ -226,7 +228,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
     matmul against the u-domain-extended generator matrix — no gathers),
     Kronecker-encodes, adds AWGN (Box-Muller) and forms channel LLRs
     entirely in VMEM, then runs the same decode body. Signature:
-    core(seed i32 [1,1], sigma f32 [1,1], B) -> (traj_bit, traj_perm, pm,
+    core(seed i32 [2], sigma f32 [1,1], B) -> (traj_bit, traj_perm, pm,
     u_true [N, B] i8). The decode path is untouched (bit-identical);
     only the source of the LLRs changes, so FER statistics are the
     contract, per-frame equality with the XLA harness is not (different
@@ -257,6 +259,12 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
     core(llrs [B, N] f32) -> (u [N, B] i8, meta [8, B] f32)."""
     assert mc or not counters, "counters mode requires mc=True"
     assert not (mc and select), "select mode is the plain-decode variant"
+    assert mc or not mc_noise, "mc_noise requires mc=True"
+    # mc_noise=True adds a channel-noise INPUT [N, B] f32 consumed in
+    # place of the in-kernel Box-Muller draw (ADVICE r3: the TPU-semantics
+    # interpreter's PRNG is constant, so CPU tests of the counters path
+    # otherwise never see a frame error). Signature gains a trailing
+    # noise argument: core(seed, sigma, B, noise).
     P = int(list_size)
     m = len(spec.factors)
     N = spec.N
@@ -339,6 +347,19 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             if not frozen_for_cols[t0:t0 + n].all()])
         gsel_np = gext_np[:, sel_cols]
         NZ = len(sel_cols)
+    # Kronecker encode as ONE MXU matmul against the host-precomputed
+    # generator (r4): the stagewise in-kernel butterfly emits ~nnz(K)
+    # chained VPU ops per stage, and for l=16 stages with post=1 those
+    # run on 1-sublane slices (1/8 vreg utilization + relayouts) —
+    # measured 3x slowdown of the whole fused bch_sc step. 0/1 products
+    # are exact in bf16; accumulation is f32 (sums <= N << 2^24); mod 2
+    # restores GF(2). Gated by generator size (bf16 bytes) fitting VMEM.
+    MXU_ENC = mc and (N * N * 2 <= 4 * 2**20)
+    if MXU_ENC:
+        g_full = np.eye(1, dtype=np.uint8)
+        for kk in kernels_np:
+            g_full = np.kron(g_full, kk) & 1
+        genc_np = g_full.T.astype(jnp.bfloat16)     # x = G^T @ u
 
     def kernel(*refs):
         if mc:
@@ -348,6 +369,11 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             else:
                 fro_ref, seed_ref, sig_ref = refs[:3]
                 rest = refs[3:]
+            noise_ref = genc_ref = None
+            if MXU_ENC:
+                genc_ref, rest = rest[0], rest[1:]
+            if mc_noise:
+                noise_ref, rest = rest[0], rest[1:]
             if counters:
                 cnt_ref = rest[0]
                 bit_ref = perm_ref = pm_ref = utrue_ref = None
@@ -371,7 +397,16 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
         # ---- fused-MC prologue: RNG -> CRC -> encode -> AWGN -> LLRs ---
         chan_llr = None
         if mc:
-            pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+            # two independent 32-bit key words (a single word
+            # birthday-collides across the 1e4-1e5 dispatches of a long
+            # sweep, silently replaying whole batches, ADVICE r3); Mosaic
+            # caps prng_seed at 2 scalars, so the tile index rides word 0
+            # via a golden-ratio stride (distinct per tile, and the
+            # 64-bit (word0, word1) state keeps collisions negligible)
+            pltpu.prng_seed(
+                seed_ref[0, 0]
+                + pl.program_id(0) * jnp.int32(-1640531527),
+                seed_ref[0, 1])
 
             def _u24(bits):        # top-24 uniform bits as f32 in [0, 2^24)
                 ub = jax.lax.bitcast_convert_type(bits, jnp.uint32)
@@ -398,40 +433,52 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             if not counters:
                 utrue_ref[:] = u_true.astype(jnp.int8)
             # Kronecker encode x = u · (K_1 ⊗ … ⊗ K_m) over GF(2):
-            # stagewise butterfly on 0/1 f32 (XOR = |a-b|), identical
-            # GF(2) result to ops/encode.encode_u's tensordot chain
-            x = u_true
-            pre = 1
-            for s in range(m):
-                lf = factors[s]
-                post = N // (pre * lf)
-                t = x.reshape(pre, lf, post, BT)
-                cols = []
-                for a in range(lf):
-                    par = None
-                    for j in range(lf):
-                        if kernels_np[s][j, a]:
-                            xj = t[:, j:j + 1]
-                            par = xj if par is None else jnp.abs(par - xj)
-                    cols.append(par if par is not None
-                                else jnp.zeros_like(t[:, 0:1]))
-                x = jnp.concatenate(cols, axis=1).reshape(N, BT)
-                pre *= lf
+            # one MXU matmul against the precomputed generator when it
+            # fits VMEM (see MXU_ENC above), else the stagewise butterfly
+            # on 0/1 f32 (XOR = |a-b|) — both identical GF(2) results to
+            # ops/encode.encode_u's tensordot chain
+            if MXU_ENC:
+                x = jnp.mod(jax.lax.dot_general(
+                    genc_ref[:], u_true.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32), 2.0)
+            else:
+                x = u_true
+                pre = 1
+                for s in range(m):
+                    lf = factors[s]
+                    post = N // (pre * lf)
+                    t = x.reshape(pre, lf, post, BT)
+                    cols = []
+                    for a in range(lf):
+                        par = None
+                        for j in range(lf):
+                            if kernels_np[s][j, a]:
+                                xj = t[:, j:j + 1]
+                                par = (xj if par is None
+                                       else jnp.abs(par - xj))
+                        cols.append(par if par is not None
+                                    else jnp.zeros_like(t[:, 0:1]))
+                    x = jnp.concatenate(cols, axis=1).reshape(N, BT)
+                    pre *= lf
             # BPSK-AWGN channel + LLRs (sim/channel.py conventions):
             # Box-Muller, using BOTH outputs of each (u1, u2) pair — the
             # transcendentals (log/sqrt/cos/sin are multi-op polynomial
             # lowerings on the VPU) dominate the prologue, and pairing
             # halves the log+sqrt count
             sigma = sig_ref[0, 0]
-            Nh = N // 2
-            u1 = (_u24(pltpu.prng_random_bits((Nh, BT))) + 1.0) * \
-                jnp.float32(2.0 ** -24)                       # (0, 1]
-            u2 = _u24(pltpu.prng_random_bits((Nh, BT))) * \
-                jnp.float32(2.0 ** -24)                       # [0, 1)
-            r = jnp.sqrt(-2.0 * jnp.log(u1))
-            th = jnp.float32(2.0 * np.pi) * u2
-            gauss = jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)],
-                                    axis=0)
+            if mc_noise:
+                gauss = noise_ref[:]
+            else:
+                Nh = N // 2
+                u1 = (_u24(pltpu.prng_random_bits((Nh, BT))) + 1.0) * \
+                    jnp.float32(2.0 ** -24)                   # (0, 1]
+                u2 = _u24(pltpu.prng_random_bits((Nh, BT))) * \
+                    jnp.float32(2.0 ** -24)                   # [0, 1)
+                r = jnp.sqrt(-2.0 * jnp.log(u1))
+                th = jnp.float32(2.0 * np.pi) * u2
+                gauss = jnp.concatenate([r * jnp.cos(th),
+                                         r * jnp.sin(th)], axis=0)
             y = (1.0 - 2.0 * x) + sigma * gauss
             chan_llr = (2.0 / (sigma * sigma)) * y
         lam = list(scratch[:m])                 # lam[s]: [P, n_{s+1}, BT] f32
@@ -1153,7 +1200,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
     )
 
     if mc:
-        def _mc_ins(seed, sigma):
+        def _mc_ins(seed, sigma, noise=None):
             ins = [jnp.asarray(data_mask_np)]
             in_specs = [pl.BlockSpec((N, 128), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)]
@@ -1164,19 +1211,28 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((W8, 128), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)]
-            ins += [jnp.asarray(seed, jnp.int32).reshape(1, 1),
+            ins += [jnp.asarray(seed, jnp.int32).reshape(1, 2),
                     jnp.asarray(sigma, jnp.float32).reshape(1, 1)]
             in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
                          pl.BlockSpec(memory_space=pltpu.SMEM)]
+            if MXU_ENC:
+                ins.append(jnp.asarray(genc_np))
+                in_specs.append(pl.BlockSpec((N, N), lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+            if mc_noise:
+                ins.append(jnp.asarray(noise, jnp.float32))
+                in_specs.append(pl.BlockSpec((N, BT), lambda i: (0, i),
+                                             memory_space=pltpu.VMEM))
             return ins, in_specs
 
         if counters:
-            def core_cnt(seed: jnp.ndarray, sigma: jnp.ndarray, B: int):
+            def core_cnt(seed: jnp.ndarray, sigma: jnp.ndarray, B: int,
+                         noise=None):
                 if B % BT:
                     raise ValueError(
                         f"batch {B} not a multiple of tile {BT}")
                 nt = B // BT
-                ins, in_specs = _mc_ins(seed, sigma)
+                ins, in_specs = _mc_ins(seed, sigma, noise)
                 cnt = pl.pallas_call(
                     kernel,
                     grid=(nt,),
@@ -1194,11 +1250,12 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
 
             return core_cnt, spans
 
-        def core_mc(seed: jnp.ndarray, sigma: jnp.ndarray, B: int):
+        def core_mc(seed: jnp.ndarray, sigma: jnp.ndarray, B: int,
+                    noise=None):
             if B % BT:
                 raise ValueError(f"batch {B} not a multiple of tile {BT}")
             nt = B // BT
-            ins, in_specs = _mc_ins(seed, sigma)
+            ins, in_specs = _mc_ins(seed, sigma, noise)
             bit, perm, pm, utrue = pl.pallas_call(
                 kernel,
                 grid=(nt,),
@@ -1316,8 +1373,8 @@ def build_digits(spec: CodeSpec):
 
 def build_pallas_mc_step(spec: CodeSpec, list_size: int,
                          batch_tile: int = 128, interpret: bool = False,
-                         counters: bool = False):
-    """Fused Monte-Carlo step: step(seed i32, sigma f32, batch) ->
+                         counters: bool = False, noise_input: bool = False):
+    """Fused Monte-Carlo step: step(seed i32 [2], sigma f32, batch) ->
     (frame_errors i32, bit_errors i32, u_true [N, B] i8, result).
 
     The entire RNG -> CRC -> encode -> AWGN -> LLR -> SCL-decode chain
@@ -1333,25 +1390,33 @@ def build_pallas_mc_step(spec: CodeSpec, list_size: int,
     counters=True: the error counting happens in-kernel too (see
     build_pallas_scl_kernel counters) — step returns (frame_errors,
     bit_errors, None, None); same numbers as the full mode on the same
-    seed (pinned by tests), no genealogy/epilogue work at all."""
+    seed (pinned by tests), no genealogy/epilogue work at all.
+
+    noise_input=True (test hook, ADVICE r3): the returned step takes a
+    trailing `noise` [B-tiled N x B] f32 array used instead of the
+    in-kernel Box-Muller draw, so CPU (interpret) tests can drive the
+    counters machinery with real frame errors."""
     from polar_tpu.ops.scl import scl_epilogue
 
     core, spans = build_pallas_scl_kernel(spec, list_size,
                                           batch_tile=batch_tile,
                                           interpret=interpret, mc=True,
-                                          counters=counters)
+                                          counters=counters,
+                                          mc_noise=noise_input)
     info_mask_np = np.zeros(spec.N, bool)
     info_mask_np[np.asarray(spec.info_positions)[:spec.K]] = True
 
     if counters:
-        def step_cnt(seed: jnp.ndarray, sigma: jnp.ndarray, batch: int):
-            cnt = core(seed, sigma, batch)               # [8, B] i32
+        def step_cnt(seed: jnp.ndarray, sigma: jnp.ndarray, batch: int,
+                     noise=None):
+            cnt = core(seed, sigma, batch, noise)        # [8, B] i32
             return jnp.sum(cnt[0]), jnp.sum(cnt[1]), None, None
 
         return step_cnt
 
-    def step(seed: jnp.ndarray, sigma: jnp.ndarray, batch: int):
-        traj_bit, traj_perm, pm, u_true = core(seed, sigma, batch)
+    def step(seed: jnp.ndarray, sigma: jnp.ndarray, batch: int,
+             noise=None):
+        traj_bit, traj_perm, pm, u_true = core(seed, sigma, batch, noise)
         entries = [(t0, n, traj_perm[q]) for q, (t0, n) in enumerate(spans)]
         res = scl_epilogue(spec, list_size, entries, traj_bit, pm)
         mask = jnp.asarray(info_mask_np)

@@ -72,9 +72,10 @@ def make_mc_step(spec: CodeSpec, list_size: int, steps_per_call: int = 1,
     def one(key, sigma, batch: int):
         if backend == "fused":
             # whole MC step in one Pallas kernel (RNG/encode/channel/
-            # decode VMEM-resident); seed derived from the step key so
-            # resume determinism is preserved
-            seed = jax.random.bits(key, (), jnp.uint32).astype(jnp.int32)
+            # decode VMEM-resident); TWO 32-bit seed words derived from
+            # the step key (a single word birthday-collides across long
+            # sweeps, ADVICE r3) — resume determinism is preserved
+            seed = jax.random.bits(key, (2,), jnp.uint32).astype(jnp.int32)
             fe, be, _, _ = mc_kernel_step(seed, sigma, batch)
             return fe.astype(jnp.int32), be.astype(jnp.int32)
         k_info, k_noise = jax.random.split(key)
