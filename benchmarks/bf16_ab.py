@@ -60,6 +60,12 @@ def make_arm(llr_dtype):
 
 for name, dt in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
     run = make_arm(dt)
+    # warm-up run EXCLUDES the jit compile from the timed region —
+    # VERDICT r3 weak 3: the r3 f32 arm paid its compile inside the
+    # timed region, making the committed codewords_per_s a 9.4x artifact.
+    # Fence with a value fetch (block_until_ready is unreliable through
+    # the remote tunnel).
+    int(run(jax.random.key(7))[0])
     t0 = time.time()
     fe, be = run(jax.random.key(1234))
     fe, be = int(fe), int(be)

@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--big-stage", choices=("xla", "pallas"), default="xla",
                    help="xla backend: l>2 kernel-input LLR backend "
                         "(pallas = hybrid VMEM-resident stage kernels)")
+    p.add_argument("--subtree", choices=("none", "pallas"), default="none",
+                   help="xla backend: run each depth-1 subtree as one "
+                        "Pallas mega-kernel dispatch (r4)")
     args = p.parse_args(argv)
 
     import jax
@@ -64,7 +67,8 @@ def main(argv=None):
         from polar_tpu.ops.scl import build_scl_decoder
         decode = build_scl_decoder(spec, L,
                                    llr_dtype=jnp.dtype(args.llr_dtype),
-                                   big_stage_backend=args.big_stage)
+                                   big_stage_backend=args.big_stage,
+                                   subtree_backend=args.subtree)
 
     if args.backend == "fused":
         @jax.jit
@@ -98,6 +102,7 @@ def main(argv=None):
     print(json.dumps({
         "preset": args.preset, "backend": args.backend, "batch": B,
         "big_stage": args.big_stage if args.backend == "xla" else None,
+        "subtree": args.subtree if args.backend == "xla" else None,
         # both Pallas-based backends tile the batch (ADVICE r3)
         "batch_tile": args.batch_tile if args.backend in ("pallas", "fused")
         else None,

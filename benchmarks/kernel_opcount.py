@@ -49,6 +49,8 @@ def main():
     P = args.list_size or preset.list_size
     BT = args.batch_tile
 
+    import numpy as np
+
     psc._TALLY = {}
     try:
         mc = args.mode in ("mc", "counters")
@@ -56,16 +58,33 @@ def main():
             spec, P, batch_tile=BT, interpret=True, select=args.select,
             mc=mc, counters=args.mode == "counters")
         if mc:
-            jax.eval_shape(
-                lambda s, sg: core(s, sg, BT),
+            jaxpr = jax.make_jaxpr(
+                lambda s, sg: core(s, sg, BT))(
                 jax.ShapeDtypeStruct((2,), jnp.int32),
                 jax.ShapeDtypeStruct((1, 1), jnp.float32))
         else:
-            jax.eval_shape(core, jax.ShapeDtypeStruct((BT, spec.N),
-                                                      jnp.float32))
+            jaxpr = jax.make_jaxpr(core)(
+                jax.ShapeDtypeStruct((BT, spec.N), jnp.float32))
         counts = dict(psc._TALLY.get("counts", {}))
     finally:
         psc._TALLY = None
+
+    # Complementary universal count straight from the traced kernel
+    # jaxpr: output elements of every non-layout primitive. Catches work
+    # the helper tally does not instrument (down_big trellis/table paths,
+    # the MC prologue) at the cost of also counting copies.
+    FREE = {"reshape", "squeeze", "broadcast_in_dim"}
+    jx_elems = 0
+    for eq in jaxpr.jaxpr.eqns:
+        if eq.primitive.name != "pallas_call":
+            continue
+        for e in eq.params["jaxpr"].eqns:
+            if e.primitive.name in FREE:
+                continue
+            for ov in e.outvars:
+                if hasattr(ov.aval, "shape"):
+                    jx_elems += (int(np.prod(ov.aval.shape))
+                                 if ov.aval.shape else 1)
 
     total = sum(counts.values())
     by_helper, by_ctx = {}, {}
@@ -74,12 +93,16 @@ def main():
         by_ctx[ctx] = by_ctx.get(ctx, 0) + n
 
     per_frame = total / BT
-    bound = V5E_VPU_OPS / per_frame
+    bound = V5E_VPU_OPS / max(per_frame, 1)
+    jx_frame = jx_elems / BT
     print(json.dumps({"kind": "opcount_total", "preset": args.preset,
                       "list_size": P, "batch_tile": BT,
                       "elem_ops_per_tile": total,
                       "elem_ops_per_frame": round(per_frame),
-                      "vpu_bound_cw_s": round(bound)}), flush=True)
+                      "vpu_bound_cw_s": round(bound),
+                      "jaxpr_elems_per_frame": round(jx_frame),
+                      "jaxpr_vpu_bound_cw_s":
+                      round(V5E_VPU_OPS / max(jx_frame, 1))}), flush=True)
     if args.rate:
         print(json.dumps({"kind": "opcount_sol", "measured_cw_s": args.rate,
                           "pct_of_vpu_sol":

@@ -84,7 +84,7 @@ VMEM_BUDGET = 16 * 2**20            # ~VMEM/core (pallas_guide.md); the
 
 def vmem_footprint(spec: CodeSpec, list_size: int, batch_tile: int,
                    Q: int, mc: bool = False, counters: bool = False,
-                   select: bool = False) -> dict:
+                   select: bool = False, subtree: bool = False) -> dict:
     """Exact bytes of the kernel's VMEM-resident blocks at one batch tile
     (mirrors scratch_shapes + block specs below). Q = number of
     trajectory spans (len of `spans` returned by build_pallas_scl_kernel).
@@ -100,6 +100,11 @@ def vmem_footprint(spec: CodeSpec, list_size: int, batch_tile: int,
     W8 = max(8, W)
     if counters:
         io = 8 * BT * 4                       # counter out-block only
+    elif subtree:
+        io = (P * spec.N * BT * 4             # lam in-block
+              + 2 * P * spec.N * BT           # bits + x out-blocks (i8)
+              + Q * P * BT * 4                # perms out-block
+              + 3 * P * BT * 4)               # pm in + net/pm out
     elif select:
         io = (spec.N * BT * 4                 # llr in-block
               + spec.N * BT + 8 * BT * 4      # u + meta out-blocks
@@ -159,7 +164,7 @@ class _Dead:
 _DEAD = _Dead()
 
 
-def _map_liveness(program, factors, digits_np, m):
+def _map_liveness(program, factors, digits_np, m, subtree=False):
     """Static liveness of the per-buffer path->slot maps.
 
     For each buffer (lam[s] / dec[s][j]) and op index k, live[k] is True
@@ -190,9 +195,11 @@ def _map_liveness(program, factors, digits_np, m):
             lam_ev[s - 1][k] = "r"
             dec_ev[s - 1][int(digits_np[t0, s - 1])][k] = "w"
 
-    def scan(ev):
+    def scan(ev, tail_read=False):
         out = np.zeros(n_ops, np.bool_)
-        state = False              # next event strictly after op j a read?
+        # tail_read: the buffer is read after the whole program (subtree
+        # mode's root re-encode reads every dec[0][j] at the end)
+        state = bool(tail_read)
         for j in range(n_ops - 1, -1, -1):
             e = ev.get(j)
             # A fork inside op j runs after op j's reads but before its
@@ -204,7 +211,8 @@ def _map_liveness(program, factors, digits_np, m):
         return out
 
     return ([scan(lam_ev[s]) for s in range(m)],
-            [[scan(dec_ev[s][j]) for j in range(factors[s])]
+            [[scan(dec_ev[s][j], tail_read=subtree and s == 0)
+              for j in range(factors[s])]
              for s in range(m)])
 
 
@@ -218,7 +226,8 @@ def _traj_ops(program):
 def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                             batch_tile: int = 128, interpret: bool = False,
                             mc: bool = False, counters: bool = False,
-                            select: bool = False, mc_noise: bool = False):
+                            select: bool = False, mc_noise: bool = False,
+                            subtree: bool = False):
     """Returns core(llrs [B, N] f32) -> (traj_bit [N, P, B] i8,
     traj_perm [Q, P, B] i32, pm [P, B] f32, spans) — the decode front end;
     feed to `scl_epilogue`. B must be a multiple of batch_tile.
@@ -260,6 +269,21 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
     assert mc or not counters, "counters mode requires mc=True"
     assert not (mc and select), "select mode is the plain-decode variant"
     assert mc or not mc_noise, "mc_noise requires mc=True"
+    assert not (subtree and (mc or select)), "subtree is its own variant"
+    # subtree=True: the kernel decodes `spec` as a SUB-code whose parent
+    # stage lives outside (ops/scl.py subtree_backend="pallas"): input is
+    # the parent-computed LLR block lam [P, N, B] (path-bound, current
+    # indexing) + path metrics pm [P, B]; outputs are the per-span u bits
+    # [P, N, B] i8 in post-op indexing, the per-op survival perms
+    # [Q*P, B] i32 (ordinary traj entries for the outer epilogue's
+    # associative scan), the NET survival permutation [P, B] (one outer
+    # _apply_perm == the in-kernel fork sequence), the re-encoded root
+    # decision block x [P, N, B] i8 (what the outer UP would produce),
+    # and pm' [P, B]. The sub-program's node classification and fork
+    # order are identical to the corresponding span of the full-tree
+    # program, so the composition is bit-exact vs the XLA decoder. This
+    # collapses each depth-1 subtree of configs too big for the full
+    # mega-kernel (mixed N=4096 L=32) into ONE dispatch.
     # mc_noise=True adds a channel-noise INPUT [N, B] f32 consumed in
     # place of the in-kernel Box-Muller draw (ADVICE r3: the TPU-semantics
     # interpreter's PRNG is constant, so CPU tests of the counters path
@@ -294,7 +318,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
     # time instead of deep inside Mosaic scratch allocation. Interpret mode
     # runs on host memory, so the envelope does not apply there.
     fp = vmem_footprint(spec, P, BT, Q, mc=mc, counters=counters,
-                        select=select)
+                        select=select, subtree=subtree)
     if fp["total"] > VMEM_BUDGET and not interpret:
         raise ValueError(
             f"pallas SCL kernel for (N={spec.N}, L={P}, batch_tile={BT}) "
@@ -305,7 +329,8 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             + ") — use backend='xla', a smaller list size, or a smaller "
             "batch_tile")
 
-    live_lam, live_dec = _map_liveness(program, factors, digits_np, m)
+    live_lam, live_dec = _map_liveness(program, factors, digits_np, m,
+                                       subtree=subtree)
     big = {s: _BigStage(kernels_np[s - 1]) for s in range(1, m + 1)
            if factors[s - 1] > 2}
     inv_kernels = ([k.astype(np.uint8) for k in staged_inverse_kernels(spec)]
@@ -362,6 +387,8 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
         genc_np = g_full.T.astype(jnp.bfloat16)     # x = G^T @ u
 
     def kernel(*refs):
+        lam_in_ref = pm_in_ref = bits_ref = perms_ref = None
+        netp_ref = x_ref = None
         if mc:
             if W:
                 fro_ref, gext_ref, off_ref, seed_ref, sig_ref = refs[:5]
@@ -382,6 +409,11 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 bit_ref, perm_ref, pm_ref, utrue_ref = rest[:4]
                 scratch = rest[4:]
             llr_ref = None
+        elif subtree:
+            (lam_in_ref, pm_in_ref, bits_ref, perms_ref, netp_ref,
+             x_ref, pm_ref) = refs[:7]
+            scratch = refs[7:]
+            llr_ref = bit_ref = perm_ref = None
         elif select:
             if W:
                 llr_ref, gsel_ref, off_ref, u_ref, meta_ref = refs[:5]
@@ -499,13 +531,14 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
         ctx = {
             # .at[].set lowers to an (unsupported) scatter in Mosaic —
             # express all masked writes as where() on an iota instead
-            "pm": jnp.where(iota_p == 0, 0.0, BIG)
-            if P > 1 else jnp.zeros((P, BT), jnp.float32),
+            "pm": pm_in_ref[:] if subtree
+            else (jnp.where(iota_p == 0, 0.0, BIG)
+                  if P > 1 else jnp.zeros((P, BT), jnp.float32)),
             # trace-time: True when pm is sorted ascending by (value,
             # path index) — every fork2 output is; per-path additions
             # (R0, frozen leaves, SPC parity fix) clear it. Lets R1/SPC
             # round-0 forks use fork2_sorted too when it still holds.
-            "pm_sorted": True,          # [0, BIG, ..., BIG] is sorted
+            "pm_sorted": not subtree,   # [0, BIG, ..., BIG] is sorted
             "rlam": [None] * m,
             "rdec": [[None] * factors[s] for s in range(m)],
             "op_idx": 0,
@@ -518,6 +551,12 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             "dec_uni": [[False] * factors[s] for s in range(m)],
             "q": 0,
             "traj": [],       # select mode: (t0, n, perm) per traj op
+            # subtree mode: current-path -> kernel-entry index map (the
+            # net survival perm so far). The parent-computed lam input is
+            # PATH-BOUND at entry, so every stage-1 DOWN after a fork
+            # must gather it through this map — unlike the channel
+            # input, which is path-invariant.
+            "netmap": None,
         }
         if counters:
             # per-path CRC syndrome + info-bit-error accumulators: they
@@ -566,6 +605,9 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                         continue
                     ctx["rdec"][s][j] = (upd(ctx["rdec"][s][j])
                                          if live_dec[s][j][k] else _DEAD)
+            if subtree:
+                ctx["netmap"] = (perm if ctx["netmap"] is None
+                                 else pgather(ctx["netmap"], perm))
             if counters:
                 if W:
                     ctx["crc_acc"] = pgather(
@@ -740,6 +782,11 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                     bits_pnb, (P, n, BT))
                 ctx["traj"].append((t0, n, perm))
                 return
+            if subtree:
+                bits_ref[:, t0:t0 + n, :] = jnp.broadcast_to(
+                    bits_pnb, (P, n, BT)).astype(jnp.int8)
+                ctx["traj"].append((t0, n, perm))
+                return
             bits = jnp.swapaxes(bits_pnb, 0, 1).reshape(n * P, BT)
             perm_ref[q * P:(q + 1) * P] = perm
             bit_ref[t0 * P:(t0 + n) * P] = bits.astype(jnp.int8)
@@ -811,7 +858,12 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             C = 1 << d_free
             nrow = int(np.prod(jnp.broadcast_shapes(
                 *(a.shape for a in lam_adj))[:-2]))
-            cc = max(1, min(C, _TERM_BUDGET // max(1, nrow * n * BT * 4)))
+            # budget covers ALL l live terms of the tree_fold, not one:
+            # at P=32 the l=16 un-divided form kept 16 x 8 MB alive at
+            # once and blew Mosaic's scoped-vmem stack (measured 114 MB
+            # vs the 100 MB limit on the mixed_scl32 subtree kernel)
+            cc = max(1, min(C, _TERM_BUDGET
+                            // max(1, l * nrow * n * BT * 4)))
             corr = [None, None]                       # running max per hyp
             for h in range(2):
                 lam_h = (lam_adj if h == 0 else
@@ -840,9 +892,20 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
         def down(s, t0, fresh):
             l, n = factors[s - 1], n_sizes[s]
             if s == 1:
-                base = chan_llr if chan_llr is not None else llr_ref[:]
-                prev = base.reshape(l, n, BT)[None]         # [1, l, n, BT]
-                prev_uni = True
+                if subtree:
+                    # parent-computed LLR block: path-BOUND at kernel
+                    # entry — reads after in-kernel forks gather through
+                    # the accumulated net survival map
+                    if ctx["netmap"] is None:
+                        prev = lam_in_ref[:]
+                    else:
+                        prev = pgather(lam_in_ref[:], ctx["netmap"])
+                    prev = prev.reshape(P, l, n, BT)
+                    prev_uni = False
+                else:
+                    base = chan_llr if chan_llr is not None else llr_ref[:]
+                    prev = base.reshape(l, n, BT)[None]     # [1, l, n, BT]
+                    prev_uni = True
             else:
                 prev_uni = ctx["lam_uni"][s - 2]
                 mp = ctx["rlam"][s - 2]
@@ -1099,6 +1162,33 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             else:
                 raise ValueError(k)
         assert ctx["q"] == Q
+        if subtree:
+            # per-op survival perms: ordinary traj entries for the outer
+            # epilogue's associative scan (bits stay in post-op indexing)
+            for q2, (_, _, perm2) in enumerate(ctx["traj"]):
+                perms_ref[q2 * P:(q2 + 1) * P] = perm2
+            # net survival perm: A <- A[net] once == the whole in-kernel
+            # fork sequence; maintained forward in apply_perm (it also
+            # rebinds the lam input)
+            netp_ref[:] = (ctx["netmap"] if ctx["netmap"] is not None
+                           else iota_p)
+            # root re-encode in final path indexing: what the outer UP
+            # would produce for this depth-1 child
+            l0 = factors[0]
+            K0 = kernels_np[0]
+            ch = [dec_child(1, j) for j in range(l0)]
+            cols = []
+            for k2 in range(l0):
+                par = None
+                for j in range(l0):
+                    if K0[j, k2]:
+                        par = ch[j] if par is None \
+                            else jnp.abs(par - ch[j])
+                cols.append(par if par is not None
+                            else jnp.zeros_like(ch[0]))
+            x_ref[:] = jnp.concatenate(cols, axis=1).astype(jnp.int8)
+            pm_ref[:] = ctx["pm"]
+            return
         if select:
             # ---- in-kernel epilogue: backtrack + CRC + best-path ------
             # Span q's bits are recorded in post-op-q path indexing; the
@@ -1107,7 +1197,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             # defer_flips / scl_epilogue's associative scan).
             if _TALLY is not None:
                 _TALLY["ctx"] = "EPILOGUE"
-            sufs = [None] * Q
+            sufs: list = [None] * Q
             suf = None
             ubs = {}
             for qq in range(Q - 1, -1, -1):
@@ -1289,6 +1379,49 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
 
         return core_mc, spans
 
+    if subtree:
+        def core_sub(lam1: jnp.ndarray, pm: jnp.ndarray):
+            B = lam1.shape[-1]
+            if B % BT:
+                raise ValueError(f"batch {B} not a multiple of tile {BT}")
+            nt = B // BT
+            bits, perms, netp, xblk, pmo = pl.pallas_call(
+                kernel,
+                grid=(nt,),
+                in_specs=[
+                    pl.BlockSpec((P, N, BT), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, BT), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((P, N, BT), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((Q * P, BT), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, BT), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, N, BT), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, BT), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((P, N, B), jnp.int8),
+                    jax.ShapeDtypeStruct((Q * P, B), jnp.int32),
+                    jax.ShapeDtypeStruct((P, B), jnp.int32),
+                    jax.ShapeDtypeStruct((P, N, B), jnp.int8),
+                    jax.ShapeDtypeStruct((P, B), jnp.float32),
+                ),
+                scratch_shapes=scratch_shapes,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(lam1.astype(jnp.float32), pm)
+            return bits, perms.reshape(Q, P, B), netp, xblk, pmo
+
+        return core_sub, spans
+
     if select:
         def core_sel(llrs: jnp.ndarray):
             B = llrs.shape[0]
@@ -1431,17 +1564,21 @@ def build_pallas_mc_step(spec: CodeSpec, list_size: int,
 def build_pallas_scl_decoder(spec: CodeSpec, list_size: int,
                              batch_tile: int = 128,
                              interpret: bool = False,
-                             select: bool = True):
+                             select: bool | None = None):
     """decode(llrs [B, N] f32) -> DecodeResult, bit-identical to
     ops/scl.build_scl_decoder(spec, list_size). Jit the result.
 
-    select=True (default, r4): backtrack/CRC/selection run in-kernel
-    (build_pallas_scl_kernel select mode) — the XLA side only slices the
-    payload rows out of the returned u. select=False keeps the r3 shape:
-    Pallas front end + shared XLA scl_epilogue (useful for debugging the
-    genealogy outputs; bit-identical either way)."""
+    select (default: list_size > 1): backtrack/CRC/selection run
+    in-kernel (build_pallas_scl_kernel select mode) — the XLA side only
+    slices the payload rows out of the returned u. At list_size 1 the
+    XLA epilogue is a trivial slice-up (no permutations), so the r3
+    shape is kept there (measured faster: 2.26M vs 2.0M cw/s on
+    bch_sc). select=False keeps the r3 shape everywhere (useful for
+    debugging the genealogy outputs; bit-identical either way)."""
     from polar_tpu.ops.scl import DecodeResult, scl_epilogue
 
+    if select is None:
+        select = list_size > 1
     core, spans = build_pallas_scl_kernel(spec, list_size,
                                           batch_tile=batch_tile,
                                           interpret=interpret,

@@ -168,6 +168,7 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
                       llr_dtype=jnp.float32, unroll: bool = True,
                       f_mode: str = "minsum", pm_mode: str = "abs",
                       big_stage_backend: str = "xla",
+                      subtree_backend: str = "none",
                       pallas_interpret: bool = False):
     """Returns decode(llrs: [B, N] f32) -> DecodeResult. Jit the result.
 
@@ -201,6 +202,16 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
     hybrid fast path for configs beyond the mega-kernel's VMEM envelope
     such as mixed_scl32). Requires batch % 128 == 0 on a real TPU;
     pallas_interpret=True runs those kernels interpreted (CPU tests).
+
+    subtree_backend: "none" or "pallas" (r4) — with "pallas", every
+    depth-1 subtree that does not collapse to a single classified node
+    runs as ONE Pallas mega-kernel dispatch (ops/pallas_scl.py
+    subtree=True): the kernel consumes the stage-1 DOWN's LLR block +
+    path metrics and returns ordinary traj entries, the net survival
+    permutation, and the re-encoded child block. Bit-identical to the
+    plain program (the sub-program's classification and fork order are
+    the same ops); collapses mixed_scl32's ~900 sequential dispatches
+    to ~35. Requires unroll, P >= 1, no genie, default f/pm modes.
     """
     if genie and list_size != 1:
         raise ValueError("genie mode requires list_size=1")
@@ -679,6 +690,63 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
     op_t0_np = program.op_t0
     n_ops = len(program.ops)
 
+    # ---------------- depth-1 subtree offload (r4) ----------------
+    # Replace each depth-1 subtree's op run with one Pallas mega-kernel
+    # dispatch. Children that collapse to a single classified node (R0
+    # etc.) stay in XLA. Kernels are cached by frozen-mask slice.
+    merged_items = None
+    if subtree_backend == "pallas":
+        if not unroll or genie or f_mode != "minsum" or pm_mode != "abs":
+            raise ValueError("subtree_backend='pallas' requires the "
+                             "unrolled default-mode program")
+        from polar_tpu.ops.pallas_scl import build_pallas_scl_kernel
+        n1 = n_sizes[1]
+        merged_items = []
+        sub_cache: dict = {}
+        j = 0
+        while j < n_ops:
+            op = program.ops[j]
+            if op.kind in ("DOWN_FRESH", "DOWN_DYN") and op.level == 1:
+                k = j + 1
+                while k < n_ops and not (
+                        program.ops[k].level == 1
+                        and program.ops[k].kind in ("DOWN_FRESH",
+                                                    "DOWN_DYN")):
+                    k += 1
+                merged_items.append(("op", j))
+                if k - j - 1 <= 1:          # single classified node
+                    for jj in range(j + 1, k):
+                        merged_items.append(("op", jj))
+                else:
+                    t0 = int(op.t0)
+                    fr = tuple(int(v) for v in frozen_np[t0:t0 + n1])
+                    if fr not in sub_cache:
+                        sub_spec = CodeSpec(
+                            N=n1, K=n1 - sum(fr), factors=factors[1:],
+                            frozen_mask=fr, crc=None)
+                        sub_cache[fr] = build_pallas_scl_kernel(
+                            sub_spec, P, subtree=True,
+                            interpret=pallas_interpret)
+                    merged_items.append(("sub", t0) + sub_cache[fr])
+                j = k
+            else:
+                merged_items.append(("op", j))
+                j += 1
+
+    def _subtree_item(state, t0, core_sub, spans_sub):
+        lam1 = state["lam"][0]              # just written: identity maps
+        bits, perms, netp, xblk, pm = core_sub(
+            lam1.astype(jnp.float32), state["pm"])
+        state = _apply_perm(state, netp)
+        state = dict(state)
+        state["pm"] = pm
+        for q, (ts, nn) in enumerate(spans_sub):
+            state["traj_perms"] = state["traj_perms"] + (
+                (t0 + int(ts), int(nn), perms[q]),)
+        state["traj_bit"] = jax.lax.dynamic_update_slice(
+            state["traj_bit"], jnp.moveaxis(bits, 1, 0), (t0, 0, 0))
+        return _write_dec(state, 1, t0, xblk)
+
     # ---------------- decode ----------------
 
     def decode(llrs: jnp.ndarray) -> DecodeResult:
@@ -714,8 +782,19 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         if unroll:
             # straight-line trace of the static op program: all indices
             # derived from t0 are compile-time constants, XLA fuses freely
-            for j in range(n_ops):
-                state = branches[int(op_code_np[j])](state, int(op_t0_np[j]))
+            if merged_items is not None:
+                for item in merged_items:
+                    if item[0] == "op":
+                        jj = item[1]
+                        state = branches[int(op_code_np[jj])](
+                            state, int(op_t0_np[jj]))
+                    else:
+                        state = _subtree_item(state, item[1], item[2],
+                                              item[3])
+            else:
+                for j in range(n_ops):
+                    state = branches[int(op_code_np[j])](
+                        state, int(op_t0_np[j]))
         else:
             def body(j, st):
                 return jax.lax.switch(jnp.asarray(op_code_np)[j], branches,

@@ -48,6 +48,7 @@ def test_fused_mc_structure(crc, L):
     assert np.array_equal(np.asarray(res.u).T, u)
 
 
+@pytest.mark.slow
 def test_fused_mc_encode_matches_xla():
     """The kernel's stagewise butterfly == ops/encode.encode_u on the
     transmitted u (checked indirectly: decode of the noiseless channel
@@ -64,7 +65,10 @@ def test_fused_mc_encode_matches_xla():
     assert np.array_equal(np.asarray(out.u), np.asarray(u_true).T)
 
 
-@pytest.mark.parametrize("crc,L", [(None, 1), (CRC16, 4)])
+@pytest.mark.parametrize("crc,L", [
+    (None, 1),
+    pytest.param(CRC16, 4, marks=pytest.mark.slow),
+])
 def test_fused_counters_mode_matches_full(crc, L):
     """counters=True (in-kernel CRC/select/count) must produce exactly
     the counts the full mode + XLA epilogue produce on the same seed
@@ -79,6 +83,7 @@ def test_fused_counters_mode_matches_full(crc, L):
         assert int(be_f) == int(be_c)
 
 
+@pytest.mark.slow
 def test_fused_counters_real_noise():
     """ADVICE r3 (medium): drive the in-kernel CRC-syndrome check,
     best-path selection, and error counting with REAL frame errors on
@@ -119,7 +124,8 @@ def test_fused_counters_real_noise():
 
 @pytest.mark.parametrize("factors,k,L,crc", [
     ((16,), 6, 1, None),                  # pure eBCH kernel (bch_sc shape)
-    ((16, 2), 12, 2, CrcSpec(8, 0x07, 0)),
+    pytest.param((16, 2), 12, 2, CrcSpec(8, 0x07, 0),
+                 marks=pytest.mark.slow),
 ])
 def test_fused_mc_bch_kernels(factors, k, L, crc):
     """VERDICT r3 item 3: the fused-MC prologue (PRNG/CRC/encode/AWGN)

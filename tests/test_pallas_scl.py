@@ -50,7 +50,8 @@ def _mixed_spec(factors, K, crc, seed=1):
 
 @pytest.mark.parametrize("factors,K,L,crc", [
     ((16,), 6, 1, None),                       # pure eBCH kernel, SC
-    ((16, 2), 12, 1, None),                    # BCH-major mixed, SC
+    pytest.param((16, 2), 12, 1, None,
+                 marks=pytest.mark.slow),      # BCH-major mixed, SC
     pytest.param((2, 16), 10, 4, CrcSpec(8, 0x07, 0),
                  marks=pytest.mark.slow),      # Arikan-major mixed, CA-SCL
     pytest.param((16, 2, 2), 20, 8, CrcSpec(8, 0x07, 0),

@@ -14,6 +14,7 @@ from polar_tpu.ops.scl import build_scl_decoder
 from tests.test_pallas_scl import _mixed_spec
 
 
+@pytest.mark.slow
 def test_down_kernel_matches_stage_processor():
     """Every input i of the 16x16 eBCH kernel: the standalone Pallas DOWN
     kernel equals StageProcessor._llr_static bit-for-bit (both backends,
@@ -35,7 +36,7 @@ def test_down_kernel_matches_stage_processor():
 
 @pytest.mark.parametrize("factors,K,L,crc", [
     ((16,), 6, 1, None),
-    ((16, 2), 12, 2, None),
+    pytest.param((16, 2), 12, 2, None, marks=pytest.mark.slow),
     pytest.param((16, 2, 2), 20, 8, CrcSpec(8, 0x07, 0),
                  marks=pytest.mark.slow),   # mixed_scl32 shape, CA-SCL
 ])
