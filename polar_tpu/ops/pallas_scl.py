@@ -672,8 +672,16 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             if P == 1:
                 return fork2(pm, jnp.zeros_like(pen), pen)
             A, Bc = pm, pm + pen
+            half = P // 2
+            # Offsets d=1..half are compared; their antisymmetric partners
+            # P-d come from rolls. Even P: d=half is self-paired (P-d==d),
+            # so no roll at d=half and the identity contributes half-1
+            # constant terms -> init P+half-1. Odd P: no self-pair, rolls
+            # apply for ALL d=1..half and the identity contributes half
+            # constants -> init P+half. (r5: odd-P init/roll fix.)
+            n_roll = half - 1 if P % 2 == 0 else half
             _tln("fork2", (P * 5 + 2 * (P - 1)                 # cross
-                           + (P // 2) * 6 + (P // 2 - 1) * 2   # B-internal
+                           + half * 6 + n_roll * 2             # B-internal
                            + 4) * P * BT
                  + P * 5 * 2 * P * BT + 8 * P * BT)
             crossA = crossBr = None
@@ -687,15 +695,15 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             # rank_B = #{A[j] before B[c]} + #{B[j] before B[c]}; the first
             # term is P - sum_d [B[c] < A[(c+d)%P]] = P - crossBr[c]; the
             # second uses the same offset-halving antisymmetry as fork2.
-            half = P // 2
-            rank_b = jnp.full((P, BT), P + half - 1, jnp.int32) - crossBr
+            init_b = P + half - 1 if P % 2 == 0 else P + half
+            rank_b = jnp.full((P, BT), init_b, jnp.int32) - crossBr
             for d in range(1, half + 1):
                 other = pltpu.roll(Bc, P - d, 0)   # B[(c+d)%P]
                 tie = iota_p >= (P - d)
                 less = ((other < Bc) | ((other == Bc) & tie)
                         ).astype(jnp.int32)
                 rank_b = rank_b + less
-                if d < half:
+                if d < half or P % 2 == 1:
                     rank_b = rank_b - pltpu.roll(less, d, 0)
             cand = jnp.concatenate([A, Bc], axis=0)
             rank = jnp.concatenate([rank_a, rank_b], axis=0)

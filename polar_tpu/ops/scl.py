@@ -696,9 +696,13 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
     # etc.) stay in XLA. Kernels are cached by frozen-mask slice.
     merged_items = None
     if subtree_backend == "pallas":
-        if not unroll or genie or f_mode != "minsum" or pm_mode != "abs":
+        if (not unroll or genie or f_mode != "minsum"
+                or pm_mode != "abs" or llr_dtype != jnp.float32):
             raise ValueError("subtree_backend='pallas' requires the "
-                             "unrolled default-mode program")
+                             "unrolled default-mode program with "
+                             "llr_dtype=float32 (the subtree kernel "
+                             "computes in f32; a bf16 outer program "
+                             "would silently break bit-identity)")
         from polar_tpu.ops.pallas_scl import build_pallas_scl_kernel
         n1 = n_sizes[1]
         merged_items = []

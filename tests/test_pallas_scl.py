@@ -24,6 +24,10 @@ def _spec(N, K, crc):
     pytest.param(128, 56, 8, CrcSpec(16, 0x1021, 0),
                  marks=pytest.mark.slow),
     (128, 64, 1, None),
+    # ADVICE r4 high: odd list sizes exercise the fork2_sorted no-self-pair
+    # branch (init P+half, roll-subtract at d=half too).
+    (64, 28, 3, CrcSpec(8, 0x07, 0)),
+    pytest.param(64, 28, 5, None, marks=pytest.mark.slow),
 ])
 def test_pallas_matches_xla(N, K, L, crc):
     spec = _spec(N, K, crc)
