@@ -34,6 +34,10 @@ def main():
                     default="decode",
                     help="decode kernel, fused-MC kernel, or fused-MC "
                     "with in-kernel counters")
+    ap.add_argument("--subtree", action="store_true",
+                    help="tally the depth-1 subtree kernels of a "
+                    "config-4-style decode (subtree_backend='pallas') "
+                    "weighted by dispatch count")
     ap.add_argument("--top", type=int, default=12)
     args = ap.parse_args()
 
@@ -50,6 +54,76 @@ def main():
     BT = args.batch_tile
 
     import numpy as np
+
+    if args.subtree:
+        # config-4 shape (VERDICT r4 item 2): the decoder is the XLA
+        # outer program + one Pallas subtree kernel per depth-1 subtree
+        # (ops/scl.py subtree_backend='pallas'). Tally each DISTINCT
+        # subtree kernel once and weight by its dispatch count; the
+        # outer stage-1 trellis DOWNs stay in XLA and are NOT in this
+        # tally (stated in the output), so the bound is for the Pallas
+        # side only — an upper bound on the whole decode's rate.
+        from polar_tpu.models.polar import CodeSpec
+        from polar_tpu.ops.program import build_program
+
+        program = build_program(spec, scl=(P > 1), classify=True,
+                                fast_r1_scl=True)
+        n1 = spec.block_sizes[1]
+        frozen = np.asarray(spec.frozen, bool)
+        disp: dict = {}
+        n_ops = len(program.ops)
+        j = 0
+        while j < n_ops:
+            op = program.ops[j]
+            if op.kind in ("DOWN_FRESH", "DOWN_DYN") and op.level == 1:
+                k = j + 1
+                while k < n_ops and not (
+                        program.ops[k].level == 1 and
+                        program.ops[k].kind in ("DOWN_FRESH", "DOWN_DYN")):
+                    k += 1
+                if k - j - 1 > 1:
+                    fr = tuple(int(v)
+                               for v in frozen[op.t0:op.t0 + n1])
+                    disp[fr] = disp.get(fr, 0) + 1
+                j = k
+            else:
+                j += 1
+        total = 0
+        kernels_tallied = 0
+        for fr, cnt in disp.items():
+            sub_spec = CodeSpec(
+                N=n1, K=n1 - sum(fr), factors=spec.factors[1:],
+                frozen_mask=fr, crc=None)
+            psc._TALLY = {}
+            try:
+                sub_core, _sp = psc.build_pallas_scl_kernel(
+                    sub_spec, P, batch_tile=BT, interpret=True,
+                    subtree=True)
+                jax.make_jaxpr(sub_core)(
+                    jax.ShapeDtypeStruct((P, n1, BT), jnp.float32),
+                    jax.ShapeDtypeStruct((P, BT), jnp.float32))
+                sub_total = sum(psc._TALLY.get("counts", {}).values())
+            finally:
+                psc._TALLY = None
+            total += cnt * sub_total
+            kernels_tallied += 1
+        per_frame = total / BT
+        bound = V5E_VPU_OPS / max(per_frame, 1)
+        print(json.dumps({
+            "kind": "opcount_subtree", "preset": args.preset,
+            "list_size": P, "batch_tile": BT,
+            "distinct_subtree_kernels": kernels_tallied,
+            "dispatches": sum(disp.values()),
+            "elem_ops_per_frame": round(per_frame),
+            "pallas_side_vpu_bound_cw_s": round(bound),
+            "note": "outer XLA stage-1 trellis DOWNs excluded — this "
+                    "bounds the Pallas side only"}), flush=True)
+        if args.rate:
+            print(json.dumps({
+                "kind": "opcount_sol", "measured_cw_s": args.rate,
+                "pct_of_pallas_side_bound":
+                round(100 * args.rate / bound, 1)}), flush=True)
+        return
 
     psc._TALLY = {}
     try:

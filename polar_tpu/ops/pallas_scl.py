@@ -6,8 +6,9 @@ dispatch/HBM-bound — every one of the ~316 program ops is a separate
 fusion whose inputs and outputs round-trip HBM. This kernel runs the whole
 fast-SSCL op program (ops/program.py) inside a single `pallas_call`: per
 128-lane batch tile, all per-stage LLR/decision buffers live in VMEM
-(~9 MB for N=1024, L=8), every op is straight-line VPU code, and only the
-channel LLRs (in) and genealogy/metrics (out) touch HBM.
+(~15 MB for N=1024, L=8 select mode since the r5 [n, P, BT] flip), every
+op is straight-line VPU code, and only the channel LLRs (in) and the
+best path's u/meta (out) touch HBM.
 
 Replaces the reference's per-codeword C++ `ListDecoder` recursion
 (SURVEY.md C9, §3.4; mount empty, §0) at the other end of the design
@@ -20,8 +21,13 @@ TPU-specific choices:
   negated metrics (survivors sorted by (metric, candidate index)).
 - **No argmin**: least-reliable positions come from (min, first-match-min)
   reduction pairs, ties to the lowest index, matching ops/scl.py exactly.
-- **One-hot path gathers** (P static selects) exactly as in ops/scl.py —
-  a real gather does not exist on the VPU.
+- **Native sublane path gathers** (r5): all per-stage state lives in
+  [n, P, BT] layout — the list axis P sits in SUBLANES, so every
+  path gather (survival rebinds, decision reads, map composition) is a
+  per-register `tpu.dynamic_gather` (`jnp.take_along_axis` on the
+  [P, BT] trailing dims), ONE hardware op per (8,128) register instead
+  of the r4 one-hot select+sum's ~3P ops. Leading-dim n slices/concats
+  are whole-register renames, so the f/g butterflies stay free.
 - **Trace-time fork epochs** (ops/scl.py `_apply_perm`): reads of buffers
   written since the last fork skip the gather entirely.
 
@@ -77,14 +83,16 @@ def _tln(helper: str, n) -> None:
         c = _TALLY.setdefault("counts", {})
         c[key] = c.get(key, 0) + int(n)
 _TERM_BUDGET = 8 * 1024 * 1024      # max bytes per table-correlation chunk
-VMEM_BUDGET = 16 * 2**20            # ~VMEM/core (pallas_guide.md); the
-# empirical envelope: flagship bt=128 (~9 MiB) compiles, bt=256 and
-# mixed_scl32 bt=128 (46 MiB) die in Mosaic scratch allocation.
+VMEM_BUDGET = 20 * 2**20            # ~VMEM/core is 16 MiB (pallas_guide.md)
+# but Mosaic's scoped allocation tolerates modest oversubscription: the
+# r5 flagship select kernel (15.4 MiB nominal) compiles and runs; bt=256
+# and mixed_scl32 bt=128 (46+ MiB) die in Mosaic scratch allocation.
 
 
 def vmem_footprint(spec: CodeSpec, list_size: int, batch_tile: int,
                    Q: int, mc: bool = False, counters: bool = False,
-                   select: bool = False, subtree: bool = False) -> dict:
+                   select: bool = False, subtree: bool = False,
+                   nz_rows: int | None = None) -> dict:
     """Exact bytes of the kernel's VMEM-resident blocks at one batch tile
     (mirrors scratch_shapes + block specs below). Q = number of
     trajectory spans (len of `spans` returned by build_pallas_scl_kernel).
@@ -95,7 +103,11 @@ def vmem_footprint(spec: CodeSpec, list_size: int, batch_tile: int,
     m = len(spec.factors)
     ns = spec.block_sizes
     lam = sum(P * ns[s] * BT * 4 for s in range(1, m + 1))
-    dec = sum(spec.factors[s - 1] * P * ns[s] * BT for s in range(1, m + 1))
+    # dec is f32 [l, n, P, BT] since the r5 layout flip: 0/1 values are
+    # consumed as f32 everywhere, and an i8 store would pad 4x anyway
+    # ((32,128) i8 tiling vs P<=32 sublanes) while adding relayouts
+    dec = sum(4 * spec.factors[s - 1] * P * ns[s] * BT
+              for s in range(1, m + 1))
     W = spec.crc.width if ((mc or select) and spec.crc is not None) else 0
     W8 = max(8, W)
     if counters:
@@ -106,11 +118,13 @@ def vmem_footprint(spec: CodeSpec, list_size: int, batch_tile: int,
               + Q * P * BT * 4                # perms out-block
               + 3 * P * BT * 4)               # pm in + net/pm out
     elif select:
+        nzr = spec.N if nz_rows is None else int(nz_rows)
         io = (spec.N * BT * 4                 # llr in-block
               + spec.N * BT + 8 * BT * 4      # u + meta out-blocks
-              + spec.N * P * BT * 4)          # traj-bit scratch (f32)
+              + nzr * P * BT * 4)             # traj-bit scratch (f32,
+        #                       not-all-frozen span rows only since r5)
         if W:
-            io += W8 * spec.N * 4 + W8 * 128 * 4    # gsel + off in-blocks
+            io += W8 * nzr * 4 + W8 * 128 * 4       # gsel + off in-blocks
     else:
         io = (spec.N * P * BT                 # traj_bit out-block (i8)
               + Q * P * BT * 4                # traj_perm out-block
@@ -273,12 +287,13 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
     # subtree=True: the kernel decodes `spec` as a SUB-code whose parent
     # stage lives outside (ops/scl.py subtree_backend="pallas"): input is
     # the parent-computed LLR block lam [P, N, B] (path-bound, current
-    # indexing) + path metrics pm [P, B]; outputs are the per-span u bits
-    # [P, N, B] i8 in post-op indexing, the per-op survival perms
+    # indexing; transposed to the in-kernel [N, P, B] layout XLA-side)
+    # + path metrics pm [P, B]; outputs are the per-span u bits
+    # [N, P, B] i8 in post-op indexing, the per-op survival perms
     # [Q*P, B] i32 (ordinary traj entries for the outer epilogue's
     # associative scan), the NET survival permutation [P, B] (one outer
     # _apply_perm == the in-kernel fork sequence), the re-encoded root
-    # decision block x [P, N, B] i8 (what the outer UP would produce),
+    # decision block x [N, P, B] i8 (what the outer UP would produce),
     # and pm' [P, B]. The sub-program's node classification and fork
     # order are identical to the corresponding span of the full-tree
     # program, so the composition is bit-exact vs the XLA decoder. This
@@ -317,8 +332,10 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
     # VMEM envelope guard (VERDICT r2 item 5): fail informatively at build
     # time instead of deep inside Mosaic scratch allocation. Interpret mode
     # runs on host memory, so the envelope does not apply there.
+    nz_early = sum(n for (t0, n) in spans
+                   if not frozen_np[t0:t0 + n].all())
     fp = vmem_footprint(spec, P, BT, Q, mc=mc, counters=counters,
-                        select=select, subtree=subtree)
+                        select=select, subtree=subtree, nz_rows=nz_early)
     if fp["total"] > VMEM_BUDGET and not interpret:
         raise ValueError(
             f"pallas SCL kernel for (N={spec.N}, L={P}, batch_tile={BT}) "
@@ -362,16 +379,27 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             off_np = np.zeros((W8, 128), np.float32)
             off_np[:W] = spec.crc.offset_bits(spec.K).astype(
                 np.float32)[:, None]
-    if select and W:
-        # gext columns for the concatenated unfrozen traj spans (leaf
-        # order == span order): the select epilogue's CRC is ONE matmul
-        # against this matrix
+    if select:
+        # traj-bit scratch stores ONLY the not-all-frozen spans (frozen
+        # spans decode to zeros and are reconstructed as such): scr_off
+        # maps span index q -> row offset in the packed scratch. The
+        # packed order equals the gext column order, so the CRC stays
+        # ONE matmul against gsel below.
         frozen_for_cols = spec.frozen.astype(np.bool_)
-        sel_cols = np.concatenate([
-            np.arange(t0, t0 + n) for (t0, n) in spans
-            if not frozen_for_cols[t0:t0 + n].all()])
-        gsel_np = gext_np[:, sel_cols]
-        NZ = len(sel_cols)
+        scr_off, NZ = {}, 0
+        for q_i, (t0, n) in enumerate(spans):
+            if not frozen_for_cols[t0:t0 + n].all():
+                scr_off[q_i] = NZ
+                NZ += n
+        if W:
+            # gext columns for the concatenated unfrozen traj spans (leaf
+            # order == span order): the select epilogue's CRC is ONE
+            # matmul against this matrix
+            sel_cols = np.concatenate([
+                np.arange(t0, t0 + n) for (t0, n) in spans
+                if not frozen_for_cols[t0:t0 + n].all()])
+            gsel_np = gext_np[:, sel_cols]
+            assert len(sel_cols) == NZ
     # Kronecker encode as ONE MXU matmul against the host-precomputed
     # generator (r4): the stagewise in-kernel butterfly emits ~nnz(K)
     # chained VPU ops per stage, and for l=16 stages with post=1 those
@@ -513,9 +541,9 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                                          r * jnp.sin(th)], axis=0)
             y = (1.0 - 2.0 * x) + sigma * gauss
             chan_llr = (2.0 / (sigma * sigma)) * y
-        lam = list(scratch[:m])                 # lam[s]: [P, n_{s+1}, BT] f32
-        dec = list(scratch[m:2 * m])    # dec[s]: [l_s, P, n_{s+1}, BT] i8
-        bit_scr = scratch[2 * m] if select else None   # [P, N, BT] f32
+        lam = list(scratch[:m])                 # lam[s]: [n_{s+1}, P, BT] f32
+        dec = list(scratch[m:2 * m])    # dec[s]: [l_s, n_{s+1}, P, BT] f32
+        bit_scr = scratch[2 * m] if select else None   # [NZ, P, BT] f32
 
         iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, BT), 0)
         iota2p = jax.lax.broadcasted_iota(jnp.int32, (2 * P, BT), 0)
@@ -567,18 +595,19 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             ctx["be_acc"] = jnp.zeros((P, BT), jnp.float32)
 
         def pgather(x, idx):
-            """x [P, ...], idx [P, BT] -> y[p] = x[idx[p]] per lane."""
-            extra = x.ndim - 2
-            idxe = idx.reshape((P,) + (1,) * extra + (BT,))
-            # P rounds of (broadcast cmp on idx + select on the full array)
-            _tln("pgather", P * (np.prod(x.shape) + np.prod(idxe.shape)))
-            acc = None
-            for p in range(P):
-                mask = idxe == p
-                xp = x[p][None]
-                acc = jnp.where(mask, xp, acc if acc is not None
-                                else jnp.zeros((), x.dtype))
-            return acc
+            """x [..., P, BT], idx [P, BT] -> y[..., p, b] = x[..., idx
+            [p, b], b]. The P axis lives in SUBLANES (r5 layout), so a
+            2-D take_along_axis lowers to one native tpu.dynamic_gather
+            per (8,128) register; leading dims are whole-register
+            slices. Replaces the r4 one-hot select+sum (~3P ops/reg)."""
+            _tln("pgather", np.prod(x.shape))
+            if x.ndim == 2:
+                return jnp.take_along_axis(x, idx, axis=0,
+                                           mode="promise_in_bounds")
+            return jnp.stack([
+                jnp.take_along_axis(x[j], idx, axis=0,
+                                    mode="promise_in_bounds")
+                for j in range(x.shape[0])])
 
         def apply_perm(perm):
             if _TALLY is not None:
@@ -610,9 +639,8 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                                  else pgather(ctx["netmap"], perm))
             if counters:
                 if W:
-                    ctx["crc_acc"] = pgather(
-                        jnp.moveaxis(ctx["crc_acc"], 1, 0),
-                        perm[:, None, :]).swapaxes(0, 1)
+                    # crc_acc [W8, P, BT]: P already in sublanes
+                    ctx["crc_acc"] = pgather(ctx["crc_acc"], perm)
                 ctx["be_acc"] = pgather(ctx["be_acc"], perm)
             if _TALLY is not None:
                 _TALLY["ctx"] = _TALLY["ctx"].rsplit("/", 1)[0]
@@ -730,41 +758,43 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             return fin
 
         def extract_mins(absl, count):
-            """count smallest (val, pos) along axis 1 of [P, n, BT],
-            ascending, ties to lowest index (no argmin primitive)."""
-            n = absl.shape[1]
+            """count smallest (val, pos) along axis 0 of [n, P, BT],
+            ascending, ties to lowest index (no argmin primitive).
+            Leading-axis reductions are pairwise register mins — no
+            sublane relayout."""
+            n = absl.shape[0]
             _tln("extract_mins", count * 5 * P * n * BT)
-            iota_col = jax.lax.broadcasted_iota(jnp.int32, (P, n, BT), 1)
+            iota_col = jax.lax.broadcasted_iota(jnp.int32, (n, P, BT), 0)
             vals, poss = [], []
             work = absl
             for _ in range(count):
-                v = jnp.min(work, axis=1)
-                at = jnp.where(work == v[:, None, :], iota_col, n)
-                pos = jnp.min(at, axis=1)
+                v = jnp.min(work, axis=0)
+                at = jnp.where(work == v[None], iota_col, n)
+                pos = jnp.min(at, axis=0)
                 vals.append(v)
                 poss.append(pos)
-                work = jnp.where(iota_col == pos[:, None, :], BIG, work)
+                work = jnp.where(iota_col == pos[None], BIG, work)
             return vals, poss
 
         def dec_child(s, j):
-            """Child j decisions [P, n_s, BT] f32 of stage s (1-based)."""
+            """Child j decisions [n_s, P, BT] f32 of stage s (1-based)."""
             mp = ctx["rdec"][s - 1][j]
             if mp is None or ctx["dec_uni"][s - 1][j]:
-                return dec[s - 1][j].astype(jnp.float32)
+                return dec[s - 1][j]
             assert mp is not _DEAD, f"liveness bug: dec[{s-1}][{j}]"
-            return pgather(dec[s - 1][j].astype(jnp.float32), mp)
+            return pgather(dec[s - 1][j], mp)
 
         def write_dec(d, t0, block, uniform=False):
             idx = int(digits_np[t0, d - 1])
-            dec[d - 1][idx] = block.astype(jnp.int8)
+            dec[d - 1][idx] = block
             ctx["rdec"][d - 1][idx] = None
             ctx["dec_uni"][d - 1][idx] = bool(uniform)
 
-        def write_traj(t0, n, perm, bits_pnb):
-            """bits [P, n, BT] in post-op path indexing."""
+        def write_traj(t0, n, perm, bits_npb):
+            """bits [n, P, BT] in post-op path indexing."""
             q = ctx["q"]
             ctx["q"] = q + 1
-            _tln("write_traj", np.prod(bits_pnb.shape))
+            _tln("write_traj", np.prod(bits_npb.shape))
             if counters:
                 # accumulate instead of emitting genealogy. Fully-frozen
                 # spans (R0, frozen leaves) contribute nothing: their
@@ -774,28 +804,31 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 if W:
                     g_sl = gext_ref[:, t0:t0 + n]           # [W8, n]
                     ctx["crc_acc"] = ctx["crc_acc"] + jax.lax.dot_general(
-                        g_sl, bits_pnb, (((1,), (1,)), ((), ())),
+                        g_sl, bits_npb, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                 fro_sl = fro_ref[t0:t0 + n, :BT]            # [n, BT]
                 ut_sl = u_true[t0:t0 + n]                   # [n, BT] f32
-                d = jnp.abs(bits_pnb - ut_sl[None]) * fro_sl[None]
-                ctx["be_acc"] = ctx["be_acc"] + jnp.sum(d, axis=1)
+                d = jnp.abs(bits_npb - ut_sl[:, None, :]) \
+                    * fro_sl[:, None, :]
+                ctx["be_acc"] = ctx["be_acc"] + jnp.sum(d, axis=0)
                 return
             if select:
-                # [P, N, BT] f32 layout: a plain slice write — no sublane
-                # transpose, no i8<->f32 tiling relayout (both are Mosaic
-                # pain points; the first select-mode cut used i8 [N*P, BT]
-                # and lost ~5% end-to-end to exactly those relayouts)
-                bit_scr[:, t0:t0 + n, :] = jnp.broadcast_to(
-                    bits_pnb, (P, n, BT))
+                # packed [NZ, P, BT] f32 scratch: only not-all-frozen
+                # spans are stored (frozen spans reconstruct as zeros);
+                # leading-dim slice writes are whole-register stores
+                if q in scr_off:
+                    o = scr_off[q]
+                    bit_scr[o:o + n] = jnp.broadcast_to(
+                        bits_npb, (n, P, BT))
                 ctx["traj"].append((t0, n, perm))
                 return
             if subtree:
-                bits_ref[:, t0:t0 + n, :] = jnp.broadcast_to(
-                    bits_pnb, (P, n, BT)).astype(jnp.int8)
+                bits_ref[t0:t0 + n] = jnp.broadcast_to(
+                    bits_npb, (n, P, BT)).astype(jnp.int8)
                 ctx["traj"].append((t0, n, perm))
                 return
-            bits = jnp.swapaxes(bits_pnb, 0, 1).reshape(n * P, BT)
+            bits = jnp.broadcast_to(bits_npb, (n, P, BT)) \
+                .reshape(n * P, BT)             # already (t, p)-major
             perm_ref[q * P:(q + 1) * P] = perm
             bit_ref[t0 * P:(t0 + n) * P] = bits.astype(jnp.int8)
 
@@ -813,7 +846,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
 
         def down_big(s, i, prev):
             """l>2 kernel-input-i LLR from the parent view prev
-            [P|1, l, n, BT] — mirrors StageProcessor._llr_static op-for-op
+            [l, n, P|1, BT] — mirrors StageProcessor._llr_static op-for-op
             (coset sign folds exact in {0,1}; syndrome trellis float-equal
             to the XLA minimal-trellis scan; table path shares the
             tree_corr expression DAG)."""
@@ -821,7 +854,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             l, n = bs.l, n_sizes[s]
             K = bs.kernel
             if i == 0:
-                lam_adj = [prev[:, k] for k in range(l)]
+                lam_adj = [prev[k] for k in range(l)]
             else:
                 children = [dec_child(s, j) for j in range(i)]  # 0/1 f32
                 lam_adj = []
@@ -831,8 +864,8 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                         if K[j, k]:
                             par = (children[j] if par is None
                                    else jnp.abs(par - children[j]))
-                    lam_adj.append(prev[:, k] if par is None
-                                   else prev[:, k] * (1.0 - 2.0 * par))
+                    lam_adj.append(prev[k] if par is None
+                                   else prev[k] * (1.0 - 2.0 * par))
             if i == l - 1:   # single tail codeword: correlation with row i
                 return tree_fold([lam_adj[k] * float(K[i, k])
                                   for k in range(l)])
@@ -864,22 +897,26 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             # bit-identical to the XLA tree_corr path.
             d_free = l - 1 - i
             C = 1 << d_free
-            nrow = int(np.prod(jnp.broadcast_shapes(
-                *(a.shape for a in lam_adj))[:-2]))
+            sz = int(np.prod(jnp.broadcast_shapes(
+                *(a.shape for a in lam_adj))))
             # budget covers ALL l live terms of the tree_fold, not one:
             # at P=32 the l=16 un-divided form kept 16 x 8 MB alive at
             # once and blew Mosaic's scoped-vmem stack (measured 114 MB
             # vs the 100 MB limit on the mixed_scl32 subtree kernel)
-            cc = max(1, min(C, _TERM_BUDGET
-                            // max(1, l * nrow * n * BT * 4)))
+            cc = max(1, min(C, _TERM_BUDGET // max(1, l * sz * 4)))
             corr = [None, None]                       # running max per hyp
             for h in range(2):
                 lam_h = (lam_adj if h == 0 else
                          [lam_adj[j] * -1.0 if K[i, j] else lam_adj[j]
                           for j in range(l)])
                 for c0 in range(0, C, cc):
+                    # message-index axis at the FRONT: lam_h terms are
+                    # [n, P|1, BT], the chunk broadcasts to
+                    # [cc, n, P|1, BT] and the max reduces axis 0 (max
+                    # is exact/commutative, so the axis move keeps the
+                    # correlations bit-identical to the XLA tree_corr)
                     msg = jax.lax.broadcasted_iota(
-                        jnp.int32, (cc, 1, 1), 0) + c0
+                        jnp.int32, (cc, 1, 1, 1), 0) + c0
                     gbits = [((msg >> g) & 1).astype(jnp.float32)
                              for g in range(d_free)]
                     terms = []
@@ -890,9 +927,9 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                                 par = (gbits[g] if par is None
                                        else jnp.abs(par - gbits[g]))
                         terms.append(
-                            lam_h[j][:, None] if par is None
-                            else lam_h[j][:, None] * (1.0 - 2.0 * par))
-                    mx = jnp.max(tree_fold(terms), axis=1)
+                            lam_h[j][None] if par is None
+                            else lam_h[j][None] * (1.0 - 2.0 * par))
+                    mx = jnp.max(tree_fold(terms), axis=0)
                     corr[h] = mx if corr[h] is None \
                         else jnp.maximum(corr[h], mx)
             return 0.5 * (corr[0] - corr[1])
@@ -908,11 +945,11 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                         prev = lam_in_ref[:]
                     else:
                         prev = pgather(lam_in_ref[:], ctx["netmap"])
-                    prev = prev.reshape(P, l, n, BT)
+                    prev = prev.reshape(l, n, P, BT)
                     prev_uni = False
                 else:
                     base = chan_llr if chan_llr is not None else llr_ref[:]
-                    prev = base.reshape(l, n, BT)[None]     # [1, l, n, BT]
+                    prev = base.reshape(l, n, 1, BT)
                     prev_uni = True
             else:
                 prev_uni = ctx["lam_uni"][s - 2]
@@ -922,9 +959,9 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 else:
                     assert mp is not _DEAD, f"liveness bug: lam[{s-2}]"
                     prev = pgather(lam[s - 2][:], mp)
-                prev = prev.reshape(prev.shape[0], l, n, BT)
+                prev = prev.reshape(l, n, P, BT)
             if l == 2:
-                a, b = prev[:, 0], prev[:, 1]
+                a, b = prev[0], prev[1]
                 _tln("fg", (7 if fresh else 4) * np.prod(a.shape)
                      + P * n * BT)
                 if fresh:
@@ -941,7 +978,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 out = down_big(s, i, prev)
                 out_uni = prev_uni and all(ctx["dec_uni"][s - 1][j]
                                            for j in range(i))
-            lam[s - 1][:] = jnp.broadcast_to(out, (P, n, BT))
+            lam[s - 1][:] = jnp.broadcast_to(out, (n, P, BT))
             ctx["rlam"][s - 1] = None
             ctx["lam_uni"][s - 1] = out_uni
 
@@ -951,7 +988,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             if l == 2:
                 u0 = dec_child(s, 0)
                 u1 = dec_child(s, 1)
-                x = jnp.concatenate([jnp.abs(u0 - u1), u1], axis=1)  # XOR
+                x = jnp.concatenate([jnp.abs(u0 - u1), u1], axis=0)  # XOR
             else:
                 K = kernels_np[s - 1]
                 ch = [dec_child(s, j) for j in range(l)]
@@ -964,41 +1001,43 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                                 else jnp.abs(par - ch[j])
                     cols.append(par if par is not None
                                 else jnp.zeros_like(ch[0]))
-                x = jnp.concatenate(cols, axis=1)
+                x = jnp.concatenate(cols, axis=0)
             write_dec(s - 1, t0, x, uniform=uni)
 
         def apply_inverse(d, x):
-            """u = x @ (K_{d+1} kron .. kron K_m)^-1 on 0/1 f32 [P, n, BT]
-            (kept <= 5-D for Mosaic; same math as ops/scl.py)."""
-            n = x.shape[1]
+            """u = x @ (K_{d+1} kron .. kron K_m)^-1 on 0/1 f32 [n, P, BT]
+            (kept <= 5-D for Mosaic; same math as ops/scl.py). All n-axis
+            reshapes/slices/concats act on LEADING dims — whole-register
+            renames under the r5 layout."""
+            n = x.shape[0]
             below = factors[d:]
             _tln("apply_inverse", 2 * len(below) * P * n * BT)
             if all(f == 2 for f in below):
                 h = n // 2
                 while h >= 1:
-                    t = x.reshape(P, n // (2 * h), 2, h, BT)
-                    x0 = t[:, :, 0:1]
-                    x1 = t[:, :, 1:2]
+                    t = x.reshape(n // (2 * h), 2, h, P, BT)
+                    x0 = t[:, 0:1]
+                    x1 = t[:, 1:2]
                     x = jnp.concatenate([jnp.abs(x0 - x1), x1],
-                                        axis=2).reshape(P, n, BT)
+                                        axis=1).reshape(n, P, BT)
                     h //= 2
                 return x
             pre = 1
             for ax, s in enumerate(range(d, m)):
                 lf = factors[s]
                 post = n // (pre * lf)
-                t = x.reshape(P, pre, lf, post, BT)
+                t = x.reshape(pre, lf, post, P, BT)
                 ki = inv_kernels[s]
                 cols = []
                 for kk in range(lf):
                     par = None
                     for j in range(lf):
                         if ki[j, kk]:
-                            xj = t[:, :, j:j + 1]
+                            xj = t[:, j:j + 1]
                             par = xj if par is None else jnp.abs(par - xj)
                     cols.append(par if par is not None
-                                else jnp.zeros_like(t[:, :, 0:1]))
-                x = jnp.concatenate(cols, axis=2).reshape(P, n, BT)
+                                else jnp.zeros_like(t[:, 0:1]))
+                x = jnp.concatenate(cols, axis=1).reshape(n, P, BT)
                 pre *= lf
             return x
 
@@ -1006,9 +1045,9 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             lm = lam[d - 1][:]
             n = n_sizes[d]
             _tln("node_misc", 3 * P * n * BT)
-            ctx["pm"] = ctx["pm"] + jnp.sum(jnp.maximum(-lm, 0.0), axis=1)
+            ctx["pm"] = ctx["pm"] + jnp.sum(jnp.maximum(-lm, 0.0), axis=0)
             ctx["pm_sorted"] = P == 1
-            zeros = jnp.zeros((P, n, BT), jnp.float32)
+            zeros = jnp.zeros((n, P, BT), jnp.float32)
             write_traj(t0, n, iota_p, zeros)
             write_dec(d, t0, zeros, uniform=True)
 
@@ -1016,8 +1055,8 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             lm = lam[d - 1][:]
             n = n_sizes[d]
             _tln("node_misc", 7 * P * n * BT)
-            s0 = jnp.sum(jnp.maximum(-lm, 0.0), axis=1)
-            s1 = jnp.sum(jnp.maximum(lm, 0.0), axis=1)
+            s0 = jnp.sum(jnp.maximum(-lm, 0.0), axis=0)
+            s1 = jnp.sum(jnp.maximum(lm, 0.0), axis=0)
             if P == 1:
                 bit = jnp.where(s1 < s0, 1.0, 0.0)
                 ctx["pm"] = ctx["pm"] + jnp.minimum(s0, s1)
@@ -1027,10 +1066,10 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 apply_perm(perm)
                 ctx["pm"] = pm
                 ctx["pm_sorted"] = True
-            iota_col = jax.lax.broadcasted_iota(jnp.int32, (P, n, BT), 1)
-            ubits = jnp.where(iota_col == n - 1, bit[:, None, :], 0.0)
+            iota_col = jax.lax.broadcasted_iota(jnp.int32, (n, P, BT), 0)
+            ubits = jnp.where(iota_col == n - 1, bit[None], 0.0)
             write_traj(t0, n, perm, ubits)
-            write_dec(d, t0, jnp.broadcast_to(bit[:, None, :], (P, n, BT)))
+            write_dec(d, t0, jnp.broadcast_to(bit[None], (n, P, BT)))
 
         def node_r1(d, t0):
             lm = lam[d - 1][:]
@@ -1056,13 +1095,13 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 perms.append(perm)
                 flips_raw.append(flip)
             flips_fin = defer_flips(perms, flips_raw)
-            xhat = pgather(hd, node_map[:, None, :])
-            iota_col = jax.lax.broadcasted_iota(jnp.int32, (P, n, BT), 1)
+            xhat = pgather(hd, node_map)
+            iota_col = jax.lax.broadcasted_iota(jnp.int32, (n, P, BT), 0)
             _tln("onehot_flip", q * 5 * P * n * BT)
             for r in range(q):
                 pos_g = pgather(poss[r], node_map)
-                onehot = jnp.where(iota_col == pos_g[:, None, :], 1.0, 0.0)
-                xhat = jnp.abs(xhat - onehot * flips_fin[r][:, None, :])
+                onehot = jnp.where(iota_col == pos_g[None], 1.0, 0.0)
+                xhat = jnp.abs(xhat - onehot * flips_fin[r][None])
             apply_perm(node_map)
             ctx["pm"] = pm
             ctx["pm_sorted"] = True
@@ -1074,13 +1113,13 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             n = n_sizes[d]
             _tln("node_misc", 6 * P * n * BT)
             hd = jnp.where(lm < 0, 1.0, 0.0)
-            par = jnp.mod(jnp.sum(hd, axis=1), 2.0)      # exact: sum <= n
+            par = jnp.mod(jnp.sum(hd, axis=0), 2.0)      # exact: sum <= n
             absl = jnp.abs(lm)
-            iota_col = jax.lax.broadcasted_iota(jnp.int32, (P, n, BT), 1)
+            iota_col = jax.lax.broadcasted_iota(jnp.int32, (n, P, BT), 0)
             if P == 1:
                 vals, poss = extract_mins(absl, 1)
-                onehot = jnp.where(iota_col == poss[0][:, None, :], 1.0, 0.0)
-                xhat = jnp.abs(hd - onehot * par[:, None, :])
+                onehot = jnp.where(iota_col == poss[0][None], 1.0, 0.0)
+                xhat = jnp.abs(hd - onehot * par[None])
                 ctx["pm"] = ctx["pm"] + vals[0] * par
                 ctx["pm_sorted"] = False
                 write_traj(t0, n, iota_p, apply_inverse(d, xhat))
@@ -1107,15 +1146,15 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 perms.append(perm)
                 flips_raw.append(flip)
             flips_fin = defer_flips(perms, flips_raw)
-            xhat = pgather(hd, node_map[:, None, :])
+            xhat = pgather(hd, node_map)
             pos0 = pgather(poss[0], node_map)
-            onehot0 = jnp.where(iota_col == pos0[:, None, :], 1.0, 0.0)
-            xhat = jnp.abs(xhat - onehot0 * eta[:, None, :])
+            onehot0 = jnp.where(iota_col == pos0[None], 1.0, 0.0)
+            xhat = jnp.abs(xhat - onehot0 * eta[None])
             _tln("onehot_flip", q * 5 * P * n * BT)
             for r in range(1, q + 1):
                 pos_g = pgather(poss[r], node_map)
-                onehot = jnp.where(iota_col == pos_g[:, None, :], 1.0, 0.0)
-                xhat = jnp.abs(xhat - onehot * flips_fin[r - 1][:, None, :])
+                onehot = jnp.where(iota_col == pos_g[None], 1.0, 0.0)
+                xhat = jnp.abs(xhat - onehot * flips_fin[r - 1][None])
             apply_perm(node_map)
             ctx["pm"] = pm
             ctx["pm_sorted"] = True
@@ -1123,15 +1162,15 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             write_dec(d, t0, xhat)
 
         def node_leaf(t):
-            lam_leaf = lam[m - 1][:][:, 0, :]
+            lam_leaf = lam[m - 1][:][0]
             pen0 = jnp.maximum(-lam_leaf, 0.0)
             pen1 = jnp.maximum(lam_leaf, 0.0)
             if bool(frozen_np[t]):
                 bit = jnp.zeros((P, BT), jnp.float32)
                 ctx["pm"] = ctx["pm"] + pen0
                 ctx["pm_sorted"] = P == 1
-                write_traj(t, 1, iota_p, bit[:, None, :])
-                write_dec(m, t, bit[:, None, :], uniform=True)
+                write_traj(t, 1, iota_p, bit[None])
+                write_dec(m, t, bit[None], uniform=True)
                 return
             if P == 1:
                 bit = jnp.where(lam_leaf < 0, 1.0, 0.0)
@@ -1142,8 +1181,8 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 apply_perm(perm)
                 ctx["pm"] = pm
                 ctx["pm_sorted"] = True
-            write_traj(t, 1, perm, bit[:, None, :])
-            write_dec(m, t, bit[:, None, :])
+            write_traj(t, 1, perm, bit[None])
+            write_dec(m, t, bit[None])
 
         # ---- run the static program ------------------------------------
         for oi, op in enumerate(program.ops):
@@ -1194,7 +1233,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                             else jnp.abs(par - ch[j])
                 cols.append(par if par is not None
                             else jnp.zeros_like(ch[0]))
-            x_ref[:] = jnp.concatenate(cols, axis=1).astype(jnp.int8)
+            x_ref[:] = jnp.concatenate(cols, axis=0).astype(jnp.int8)
             pm_ref[:] = ctx["pm"]
             return
         if select:
@@ -1213,8 +1252,9 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 sufs[qq] = suf
                 if qq > 0:
                     suf = perm if suf is None else pgather(perm, suf)
-                if W and not bool(frozen_np[t0:t0 + n].all()):
-                    bits = bit_scr[:, t0:t0 + n, :]         # [P, n, BT]
+                if W and qq in scr_off:
+                    o = scr_off[qq]
+                    bits = bit_scr[o:o + n]                 # [n, P, BT]
                     ubs[qq] = (bits if sufs[qq] is None
                                else pgather(bits, sufs[qq]))
             if W:
@@ -1222,9 +1262,9 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 # (gsel_ref holds the matching gext columns) instead of a
                 # tiny matmul per span
                 ub_all = jnp.concatenate(
-                    [ubs[qq] for qq in sorted(ubs)], axis=1)
+                    [ubs[qq] for qq in sorted(ubs)], axis=0)
                 crc_acc = jax.lax.dot_general(
-                    gsel_ref[:], ub_all, (((1,), (1,)), ((), ())),
+                    gsel_ref[:], ub_all, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 cw = jnp.mod(crc_acc + off_ref[:, :BT][:, None, :], 2.0)
                 bad = jnp.max(cw[:W], axis=0)               # [P, BT] 0/1
@@ -1241,10 +1281,11 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
             ok_best = jnp.sum(sel * okp, axis=0)
             for qq in range(Q):
                 t0, n, _ = ctx["traj"][qq]
-                if bool(frozen_np[t0:t0 + n].all()):
+                if qq not in scr_off:
                     u_ref[t0:t0 + n] = jnp.zeros((n, BT), jnp.int8)
                     continue
-                bits = bit_scr[:, t0:t0 + n, :]             # [P, n, BT]
+                o = scr_off[qq]
+                bits = bit_scr[o:o + n]                     # [n, P, BT]
                 s_q = sufs[qq]
                 # best path's index in this span's post-op indexing
                 if s_q is None:
@@ -1252,14 +1293,12 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 else:
                     idx = jnp.sum(sel * s_q.astype(jnp.float32),
                                   axis=0).astype(jnp.int32)
-                _tln("u_best", 2 * P * n * BT)
-                idxe = idx[None, None, :]
-                acc = None
-                for p in range(P):
-                    acc = jnp.where(idxe == p, bits[p][None],
-                                    acc if acc is not None
-                                    else jnp.zeros((), bits.dtype))
-                u_ref[t0:t0 + n] = acc[0].astype(jnp.int8)
+                _tln("u_best", 3 * P * n * BT)
+                # one-hot row select over the sublane (P) axis: exact,
+                # bits are 0/1 and selq is one-hot per lane
+                selq = jnp.where(iota_p == idx[None], 1.0, 0.0)
+                u_ref[t0:t0 + n] = jnp.sum(
+                    bits * selq[None], axis=1).astype(jnp.int8)
             iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, BT), 0)
             meta = jnp.where(iota8 == 0, pm_best[None],
                              jnp.zeros((8, BT), jnp.float32))
@@ -1292,8 +1331,9 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
         pm_ref[:] = ctx["pm"]
 
     scratch_shapes = (
-        [pltpu.VMEM((P, n_sizes[s], BT), jnp.float32) for s in range(1, m + 1)]
-        + [pltpu.VMEM((factors[s - 1], P, n_sizes[s], BT), jnp.int8)
+        [pltpu.VMEM((n_sizes[s], P, BT), jnp.float32)
+         for s in range(1, m + 1)]
+        + [pltpu.VMEM((factors[s - 1], n_sizes[s], P, BT), jnp.float32)
            for s in range(1, m + 1)]
     )
 
@@ -1397,35 +1437,38 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                 kernel,
                 grid=(nt,),
                 in_specs=[
-                    pl.BlockSpec((P, N, BT), lambda i: (0, 0, i),
+                    pl.BlockSpec((N, P, BT), lambda i: (0, 0, i),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((P, BT), lambda i: (0, i),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=(
-                    pl.BlockSpec((P, N, BT), lambda i: (0, 0, i),
+                    pl.BlockSpec((N, P, BT), lambda i: (0, 0, i),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((Q * P, BT), lambda i: (0, i),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((P, BT), lambda i: (0, i),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((P, N, BT), lambda i: (0, 0, i),
+                    pl.BlockSpec((N, P, BT), lambda i: (0, 0, i),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((P, BT), lambda i: (0, i),
                                  memory_space=pltpu.VMEM),
                 ),
                 out_shape=(
-                    jax.ShapeDtypeStruct((P, N, B), jnp.int8),
+                    jax.ShapeDtypeStruct((N, P, B), jnp.int8),
                     jax.ShapeDtypeStruct((Q * P, B), jnp.int32),
                     jax.ShapeDtypeStruct((P, B), jnp.int32),
-                    jax.ShapeDtypeStruct((P, N, B), jnp.int8),
+                    jax.ShapeDtypeStruct((N, P, B), jnp.int8),
                     jax.ShapeDtypeStruct((P, B), jnp.float32),
                 ),
                 scratch_shapes=scratch_shapes,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),
                 interpret=interpret,
-            )(lam1.astype(jnp.float32), pm)
+            )(jnp.moveaxis(lam1.astype(jnp.float32), 0, 1), pm)
+            # bits/xblk come back [N, P, B] (r5 layout); the outer
+            # epilogue's traj_bit is [N, P, B] already, xblk is
+            # transposed back XLA-side in ops/scl._subtree_item
             return bits, perms.reshape(Q, P, B), netp, xblk, pmo
 
         return core_sub, spans
@@ -1462,7 +1505,7 @@ def build_pallas_scl_kernel(spec: CodeSpec, list_size: int,
                     jax.ShapeDtypeStruct((8, B), jnp.float32),
                 ),
                 scratch_shapes=scratch_shapes
-                + [pltpu.VMEM((P, N, BT), jnp.float32)],
+                + [pltpu.VMEM((max(NZ, 1), P, BT), jnp.float32)],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),
                 interpret=interpret,

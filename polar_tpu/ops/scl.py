@@ -747,9 +747,12 @@ def build_scl_decoder(spec: CodeSpec, list_size: int, genie: bool = False,
         for q, (ts, nn) in enumerate(spans_sub):
             state["traj_perms"] = state["traj_perms"] + (
                 (t0 + int(ts), int(nn), perms[q]),)
+        # bits arrive [N, P, B] since the r5 kernel layout flip — the
+        # outer traj_bit layout already; xblk transposes back to the
+        # XLA-side [P, n, B] convention (fused transpose, HBM-level)
         state["traj_bit"] = jax.lax.dynamic_update_slice(
-            state["traj_bit"], jnp.moveaxis(bits, 1, 0), (t0, 0, 0))
-        return _write_dec(state, 1, t0, xblk)
+            state["traj_bit"], bits, (t0, 0, 0))
+        return _write_dec(state, 1, t0, jnp.moveaxis(xblk, 0, 1))
 
     # ---------------- decode ----------------
 

@@ -41,6 +41,11 @@ def _mixed_spec(factors, K, crc, seed=1):
                  marks=pytest.mark.slow),
     pytest.param((16, 2, 2), 24, 1, None,
                  marks=pytest.mark.slow),      # SC (P=1)
+    # VERDICT r4 item 6: mixed_scl32's ACTUAL child shape — depth-1
+    # subtrees of (2,16,2,2,2,2) are (16,2,2,2,2) n=256 at L=32, the
+    # VMEM-binding operating point of the real config-4 kernel.
+    pytest.param((2, 16, 2, 2, 2, 2), 200, 32, CrcSpec(16, 0x1021, 0),
+                 marks=pytest.mark.slow),
 ])
 def test_subtree_matches_plain(factors, K, L, crc):
     spec = _mixed_spec(factors, K, crc)
@@ -48,6 +53,22 @@ def test_subtree_matches_plain(factors, K, L, crc):
                                   (128, spec.N), jnp.float32)
     ref = jax.jit(build_scl_decoder(spec, L))(llr)
     out = build_scl_decoder(spec, L, subtree_backend="pallas",
+                            pallas_interpret=True)(llr)
+    for f in ("u", "payload", "crc_ok", "pm"):
+        a, b = np.asarray(getattr(out, f)), np.asarray(getattr(ref, f))
+        assert np.allclose(a, b), f
+
+
+@pytest.mark.slow
+def test_subtree_multitile():
+    """VERDICT r4 item 6: B=256 with batch_tile=128 runs the subtree
+    kernels over a 2-tile grid — the multi-tile path all other cases
+    (B=128 = one tile) never touch."""
+    spec = _mixed_spec((2, 2, 2, 2, 2), 12, CrcSpec(8, 0x07, 0))
+    llr = 3.0 * jax.random.normal(jax.random.key(97),
+                                  (256, spec.N), jnp.float32)
+    ref = jax.jit(build_scl_decoder(spec, 4))(llr)
+    out = build_scl_decoder(spec, 4, subtree_backend="pallas",
                             pallas_interpret=True)(llr)
     for f in ("u", "payload", "crc_ok", "pm"):
         a, b = np.asarray(getattr(out, f)), np.asarray(getattr(ref, f))
